@@ -1,0 +1,78 @@
+"""DAFormer context-aware fusion decode head
+(reference models/heads/daformer.py:15-227).
+
+Per-stage MLP embeddings upsampled to the 1/4 grid, concatenated, fused by a
+depthwise-separable ASPP (dilations 1,6,12,18, no image pool), then a 1x1
+classifier.  NHWC throughout.
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ...nn.layers import ConvBNReLU, Dropout2d, MLPEmbed, conv2d
+from ...ops.resize import interpolate
+from .base import transform_inputs
+
+
+class DepthwiseSeparableASPP(nn.Module):
+    """ASPP with depthwise-separable dilated branches + bottleneck fuse
+    (reference daformer.py:46-126, sep=True, pool=False)."""
+    channels: int
+    dilations: Sequence[int] = (1, 6, 12, 18)
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        outs = []
+        for i, d in enumerate(self.dilations):
+            if d == 1:
+                branch = ConvBNReLU(self.channels, kernel_size=1, padding=0,
+                                    bn_axis_name=self.bn_axis_name,
+                                    name=f"aspp_modules_{i}")
+            else:
+                branch = ConvBNReLU(self.channels, kernel_size=3, dilation=d,
+                                    padding=d, depthwise_separable=True,
+                                    bn_axis_name=self.bn_axis_name,
+                                    name=f"aspp_modules_{i}")
+            outs.append(branch(x, train=train))
+        x = jnp.concatenate(outs, axis=-1)
+        x = ConvBNReLU(self.channels, kernel_size=3, padding=1,
+                       bn_axis_name=self.bn_axis_name,
+                       name="bottleneck")(x, train=train)
+        return x
+
+
+class DAFormerHead(nn.Module):
+    num_classes: int
+    channels: int = 256
+    embed_dims: int = 256
+    dropout_ratio: float = 0.1
+    in_index: Sequence[int] = (0, 1, 2, 3)
+    input_transform: Optional[str] = "multiple_select"
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, inputs: Sequence[jax.Array], train: bool = False,
+                 deterministic: bool = True) -> jax.Array:
+        feats = transform_inputs(inputs, list(self.in_index),
+                                 "multiple_select")
+        size = feats[0].shape[1:3]
+        embedded = []
+        for i, f in enumerate(feats):
+            e = MLPEmbed(self.embed_dims, name=f"embed_layers_{i}")(f)
+            if e.shape[1:3] != size:
+                e = interpolate(e, size, mode="bilinear", align_corners=False)
+            embedded.append(e)
+        x = jnp.concatenate(embedded, axis=-1)
+        x = DepthwiseSeparableASPP(self.channels,
+                                   bn_axis_name=self.bn_axis_name,
+                                   name="fuse_layer")(x, train=train)
+        x = Dropout2d(self.dropout_ratio, name="dropout")(
+            x, deterministic=deterministic)
+        x = conv2d(self.num_classes, kernel_size=1, padding=0,
+                   name="conv_seg")(x)
+        return x

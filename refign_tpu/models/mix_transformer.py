@@ -1,0 +1,195 @@
+"""MiT (Mix Vision Transformer, SegFormer encoder) — TPU-native flax/NHWC.
+
+Re-implements the architecture of the reference backbone
+(models/backbones/mix_transformer.py:79-568): 4-stage hierarchical ViT with
+overlapping patch embeddings (7/4 then 3/2), spatial-reduction attention
+(sr_ratios 8/4/2/1), Mix-FFN with a 3x3 depthwise conv, and stochastic depth.
+
+Differences from the reference (deliberate, TPU-first):
+* NHWC feature maps throughout; tokens are kept as (B, H, W, C) and only
+  logically flattened — XLA fuses the reshapes away.
+* Attention logits/softmax run in float32 regardless of the compute dtype
+  (bf16-safe); matmuls use the MXU via preferred_element_type.
+* Stochastic-depth schedule is computed with numpy (identical linspace rule,
+  reference mix_transformer.py:361-363).
+
+Param tree naming mirrors torch checkpoint keys for mechanical conversion:
+``patch_embed{k}/proj``, ``block{k}_{i}/{norm1,attn,norm2,mlp}``,
+``norm{k}``.
+"""
+from __future__ import annotations
+
+from typing import Any, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..nn.layers import DropPath, TorchLayerNorm, conv2d, gelu
+
+ARCH_SETTINGS = {
+    # embed_dims, num_heads, mlp_ratios, depths, sr_ratios
+    "mit_b0": dict(embed_dims=[32, 64, 160, 256], num_heads=[1, 2, 5, 8],
+                   mlp_ratios=[4, 4, 4, 4], depths=[2, 2, 2, 2],
+                   sr_ratios=[8, 4, 2, 1]),
+    "mit_b1": dict(embed_dims=[64, 128, 320, 512], num_heads=[1, 2, 5, 8],
+                   mlp_ratios=[4, 4, 4, 4], depths=[2, 2, 2, 2],
+                   sr_ratios=[8, 4, 2, 1]),
+    "mit_b2": dict(embed_dims=[64, 128, 320, 512], num_heads=[1, 2, 5, 8],
+                   mlp_ratios=[4, 4, 4, 4], depths=[3, 4, 6, 3],
+                   sr_ratios=[8, 4, 2, 1]),
+    "mit_b3": dict(embed_dims=[64, 128, 320, 512], num_heads=[1, 2, 5, 8],
+                   mlp_ratios=[4, 4, 4, 4], depths=[3, 4, 18, 3],
+                   sr_ratios=[8, 4, 2, 1]),
+    "mit_b4": dict(embed_dims=[64, 128, 320, 512], num_heads=[1, 2, 5, 8],
+                   mlp_ratios=[4, 4, 4, 4], depths=[3, 8, 27, 3],
+                   sr_ratios=[8, 4, 2, 1]),
+    "mit_b5": dict(embed_dims=[64, 128, 320, 512], num_heads=[1, 2, 5, 8],
+                   mlp_ratios=[4, 4, 4, 4], depths=[3, 6, 40, 3],
+                   sr_ratios=[8, 4, 2, 1]),
+}
+
+
+class SRAttention(nn.Module):
+    """Spatial-reduction attention (reference mix_transformer.py:106-164).
+
+    Operates on NHWC maps.  KV tokens are spatially reduced by a strided conv
+    of kernel=stride=sr_ratio followed by LayerNorm (eps 1e-5) when
+    sr_ratio > 1.
+    """
+    dim: int
+    num_heads: int
+    sr_ratio: int = 1
+    qkv_bias: bool = True
+    qk_scale: Optional[float] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        B, H, W, C = x.shape
+        nh = self.num_heads
+        hd = C // nh
+        scale = self.qk_scale or hd ** -0.5
+
+        q = nn.Dense(C, use_bias=self.qkv_bias, param_dtype=jnp.float32,
+                     name="q")(x)
+        q = q.reshape(B, H * W, nh, hd)
+
+        if self.sr_ratio > 1:
+            kv_in = conv2d(C, kernel_size=self.sr_ratio,
+                           stride=self.sr_ratio, padding=0, name="sr")(x)
+            kv_in = TorchLayerNorm(epsilon=1e-5, name="norm")(kv_in)
+            kv_in = kv_in.reshape(B, -1, C)
+        else:
+            kv_in = x.reshape(B, H * W, C)
+        kv = nn.Dense(2 * C, use_bias=self.qkv_bias,
+                      param_dtype=jnp.float32, name="kv")(kv_in)
+        kv = kv.reshape(B, -1, 2, nh, hd)
+        k = kv[:, :, 0]
+        v = kv[:, :, 1]
+
+        # (B, nh, N, M) logits in fp32 for numerical stability under bf16
+        attn = jnp.einsum("bnhd,bmhd->bhnm", q, k,
+                          preferred_element_type=jnp.float32) * scale
+        attn = jax.nn.softmax(attn, axis=-1)
+        out = jnp.einsum("bhnm,bmhd->bnhd", attn.astype(v.dtype), v)
+        out = out.reshape(B, H, W, C)
+        out = nn.Dense(C, param_dtype=jnp.float32, name="proj")(out)
+        return out
+
+
+class MixFFN(nn.Module):
+    """Mix-FFN: fc1 -> 3x3 depthwise conv -> GELU -> fc2
+    (reference mix_transformer.py:79-103,556-568)."""
+    hidden_dim: int
+    out_dim: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        x = nn.Dense(self.hidden_dim, param_dtype=jnp.float32, name="fc1")(x)
+        x = conv2d(self.hidden_dim, kernel_size=3, stride=1, padding=1,
+                   groups=self.hidden_dim, name="dwconv")(x)
+        x = gelu(x)
+        x = nn.Dense(self.out_dim, param_dtype=jnp.float32, name="fc2")(x)
+        return x
+
+
+class Block(nn.Module):
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    sr_ratio: int = 1
+    drop_path: float = 0.0
+    qkv_bias: bool = True
+    qk_scale: Optional[float] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        h = TorchLayerNorm(epsilon=1e-6, name="norm1")(x)
+        h = SRAttention(self.dim, self.num_heads, self.sr_ratio,
+                        self.qkv_bias, self.qk_scale, name="attn")(
+                            h, deterministic=deterministic)
+        x = x + DropPath(self.drop_path, name="drop_path1")(
+            h, deterministic=deterministic)
+        h = TorchLayerNorm(epsilon=1e-6, name="norm2")(x)
+        h = MixFFN(int(self.dim * self.mlp_ratio), self.dim, name="mlp")(
+            h, deterministic=deterministic)
+        x = x + DropPath(self.drop_path, name="drop_path2")(
+            h, deterministic=deterministic)
+        return x
+
+
+class OverlapPatchEmbed(nn.Module):
+    """Strided overlapping conv patch embedding + LN (eps 1e-5)
+    (reference mix_transformer.py:210-242)."""
+    patch_size: int
+    stride: int
+    embed_dim: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x = conv2d(self.embed_dim, kernel_size=self.patch_size,
+                   stride=self.stride, padding=self.patch_size // 2,
+                   name="proj")(x)
+        x = TorchLayerNorm(epsilon=1e-5, name="norm")(x)
+        return x
+
+
+class MixVisionTransformer(nn.Module):
+    """4-stage MiT backbone; returns a list of 4 NHWC feature maps at
+    1/4, 1/8, 1/16, 1/32 resolution."""
+    model_type: str = "mit_b5"
+    drop_path_rate: float = 0.1
+    qk_scale: Optional[float] = None
+    in_chans: int = 3
+
+    @nn.compact
+    def __call__(self, x: jax.Array,
+                 deterministic: bool = True) -> List[jax.Array]:
+        cfg = ARCH_SETTINGS[self.model_type]
+        depths = cfg["depths"]
+        dpr = np.linspace(0, self.drop_path_rate, sum(depths)).tolist()
+        patch_cfg = [(7, 4), (3, 2), (3, 2), (3, 2)]
+        outs = []
+        cur = 0
+        for s in range(4):
+            x = OverlapPatchEmbed(patch_cfg[s][0], patch_cfg[s][1],
+                                  cfg["embed_dims"][s],
+                                  name=f"patch_embed{s + 1}")(x)
+            for i in range(depths[s]):
+                x = Block(dim=cfg["embed_dims"][s],
+                          num_heads=cfg["num_heads"][s],
+                          mlp_ratio=cfg["mlp_ratios"][s],
+                          sr_ratio=cfg["sr_ratios"][s],
+                          drop_path=dpr[cur + i],
+                          qk_scale=self.qk_scale,
+                          name=f"block{s + 1}_{i}")(
+                              x, deterministic=deterministic)
+            x = TorchLayerNorm(epsilon=1e-6, name=f"norm{s + 1}")(x)
+            outs.append(x)
+            cur += depths[s]
+        return outs
+
+    @property
+    def embed_dims(self) -> List[int]:
+        return ARCH_SETTINGS[self.model_type]["embed_dims"]

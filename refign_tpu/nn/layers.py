@@ -1,0 +1,225 @@
+"""Core NN layers with PyTorch-matching numerics, flax.linen, NHWC.
+
+These are the building blocks shared by every model in the framework
+(reference models/modules.py:16-68,564-596).  Numerics notes:
+
+* ``TorchBatchNorm`` reproduces torch.nn.BatchNorm2d exactly: biased variance
+  for normalization, unbiased variance written into the running stats,
+  ``running = (1-momentum)*running + momentum*batch`` with momentum=0.1.
+  Cross-replica synchronization (the reference's ``sync_batchnorm: True``)
+  is a ``lax.pmean`` over ``axis_name`` when inside pmap/shard_map.
+* Convs are NHWC with HWIO kernels; symmetric integer padding matches torch.
+* GELU is the exact (erf) variant — torch's default.
+* ``DropPath`` implements per-sample stochastic depth with keep-prob
+  rescaling (reference models/modules.py:564-596).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+__all__ = [
+    "TorchBatchNorm", "ConvBNReLU", "MLPEmbed", "DropPath", "gelu",
+    "leaky_relu", "TorchLayerNorm", "Dropout2d", "conv2d",
+]
+
+
+def gelu(x: jax.Array) -> jax.Array:
+    """Exact erf GELU (torch default)."""
+    return jax.nn.gelu(x, approximate=False)
+
+
+def leaky_relu(x: jax.Array, negative_slope: float = 0.1) -> jax.Array:
+    return jax.nn.leaky_relu(x, negative_slope=negative_slope)
+
+
+class TorchLayerNorm(nn.Module):
+    """LayerNorm over the last axis with torch-style eps placement."""
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        dtype = x.dtype
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+        y = (x32 - mean) * jax.lax.rsqrt(var + self.epsilon)
+        scale = self.param("scale", nn.initializers.ones, (x.shape[-1],),
+                           jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (x.shape[-1],),
+                          jnp.float32)
+        return (y * scale + bias).astype(dtype)
+
+
+class TorchBatchNorm(nn.Module):
+    """torch.nn.BatchNorm2d semantics on NHWC, with optional cross-device sync.
+
+    When ``use_running_average`` is False the batch statistics are computed
+    over (N, H, W); if ``axis_name`` is set they are additionally averaged
+    across that mesh axis (SyncBN, reference configs `sync_batchnorm: True`).
+    """
+    momentum: float = 0.1
+    epsilon: float = 1e-5
+    use_scale_bias: bool = True
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array,
+                 use_running_average: bool = True) -> jax.Array:
+        C = x.shape[-1]
+        dtype = x.dtype
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((C,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((C,), jnp.float32))
+        x32 = x.astype(jnp.float32)
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            reduce_axes = tuple(range(x.ndim - 1))
+            mean = jnp.mean(x32, axis=reduce_axes)
+            mean_sq = jnp.mean(jnp.square(x32), axis=reduce_axes)
+            if self.axis_name is not None:
+                mean = jax.lax.pmean(mean, self.axis_name)
+                mean_sq = jax.lax.pmean(mean_sq, self.axis_name)
+            var = mean_sq - jnp.square(mean)  # biased, used for normalization
+            n = x32.size // C
+            if self.axis_name is not None:
+                n = n * jax.lax.psum(1, self.axis_name)
+            unbiased = var * (n / max(n - 1, 1))
+            if not self.is_initializing():
+                m = self.momentum
+                ra_mean.value = (1 - m) * ra_mean.value + m * mean
+                ra_var.value = (1 - m) * ra_var.value + m * unbiased
+        y = (x32 - mean) * jax.lax.rsqrt(var + self.epsilon)
+        if self.use_scale_bias:
+            scale = self.param("scale", nn.initializers.ones, (C,),
+                               jnp.float32)
+            bias = self.param("bias", nn.initializers.zeros, (C,),
+                              jnp.float32)
+            y = y * scale + bias
+        return y.astype(dtype)
+
+
+def _pair(v):
+    return (v, v) if isinstance(v, int) else tuple(v)
+
+
+def conv2d(features: int,
+           kernel_size: Union[int, Tuple[int, int]] = 3,
+           stride: Union[int, Tuple[int, int]] = 1,
+           padding: Union[int, Tuple[int, int]] = 0,
+           dilation: Union[int, Tuple[int, int]] = 1,
+           groups: int = 1,
+           use_bias: bool = True,
+           name: Optional[str] = None) -> nn.Conv:
+    """torch.nn.Conv2d equivalent: NHWC input, HWIO kernel, symmetric pad."""
+    k = _pair(kernel_size)
+    p = _pair(padding)
+    return nn.Conv(
+        features=features,
+        kernel_size=k,
+        strides=_pair(stride),
+        padding=((p[0], p[0]), (p[1], p[1])),
+        kernel_dilation=_pair(dilation),
+        feature_group_count=groups,
+        use_bias=use_bias,
+        param_dtype=jnp.float32,
+        name=name,
+    )
+
+
+class ConvBNReLU(nn.Module):
+    """conv (+ BN) (+ activation), with depthwise-separable option.
+
+    Mirrors reference models/modules.py:16-56: padding defaults to
+    ``dilation*(kernel_size-1)//2``; bias='auto' means bias iff no norm.
+    ``activation`` is a callable like :func:`leaky_relu` or jax.nn.relu.
+    """
+    out_channels: int
+    kernel_size: int = 3
+    stride: int = 1
+    dilation: int = 1
+    groups: int = 1
+    padding: Optional[int] = None
+    use_norm: bool = True
+    activation: Optional[Callable] = jax.nn.relu
+    bias: Union[str, bool] = "auto"
+    depthwise_separable: bool = False
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        padding = (self.dilation * (self.kernel_size - 1) // 2
+                   if self.padding is None else self.padding)
+        if self.depthwise_separable:
+            assert self.kernel_size > 1 and self.groups == 1
+            x = ConvBNReLU(
+                out_channels=x.shape[-1], kernel_size=self.kernel_size,
+                stride=self.stride, padding=padding, dilation=self.dilation,
+                groups=x.shape[-1], use_norm=self.use_norm,
+                activation=self.activation, bn_axis_name=self.bn_axis_name,
+                name="depthwise_conv")(x, train=train)
+            x = ConvBNReLU(
+                out_channels=self.out_channels, kernel_size=1,
+                use_norm=self.use_norm, activation=self.activation,
+                bn_axis_name=self.bn_axis_name,
+                name="pointwise_conv")(x, train=train)
+            return x
+        use_bias = (not self.use_norm) if self.bias == "auto" else bool(self.bias)
+        x = conv2d(self.out_channels, self.kernel_size, self.stride,
+                   padding, self.dilation, self.groups, use_bias,
+                   name="conv")(x)
+        if self.use_norm:
+            x = TorchBatchNorm(axis_name=self.bn_axis_name, name="bn")(
+                x, use_running_average=not train)
+        if self.activation is not None:
+            x = self.activation(x)
+        return x
+
+
+class MLPEmbed(nn.Module):
+    """Per-pixel linear embedding (reference models/modules.py:59-68).
+
+    NHWC in, NHWC out (the reference flattens to tokens; spatially identical).
+    """
+    embed_dim: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return nn.Dense(self.embed_dim, dtype=x.dtype,
+                        param_dtype=jnp.float32, name="proj")(x)
+
+
+class DropPath(nn.Module):
+    """Per-sample stochastic depth (reference models/modules.py:564-596)."""
+    drop_prob: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        if self.drop_prob == 0.0 or deterministic:
+            return x
+        keep_prob = 1.0 - self.drop_prob
+        rng = self.make_rng("droppath")
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        keep = jax.random.bernoulli(rng, keep_prob, shape=shape)
+        return x * keep.astype(x.dtype) / keep_prob
+
+
+class Dropout2d(nn.Module):
+    """Channel-wise dropout on NHWC (torch.nn.Dropout2d)."""
+    rate: float = 0.1
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        if self.rate == 0.0 or deterministic:
+            return x
+        rng = self.make_rng("dropout")
+        keep_prob = 1.0 - self.rate
+        mask_shape = (x.shape[0], 1, 1, x.shape[-1])
+        keep = jax.random.bernoulli(rng, keep_prob, shape=mask_shape)
+        return x * keep.astype(x.dtype) / keep_prob

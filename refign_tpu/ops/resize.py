@@ -1,0 +1,164 @@
+"""PyTorch-exact image resizing for TPU.
+
+Re-implements the semantics of ``torch.nn.functional.interpolate`` for the
+modes the reference uses everywhere (bilinear with ``align_corners`` True and
+False, nearest, area — see e.g. reference models/heads/segformer.py:88-99,
+models/segmentation_model.py:163-170, :498-501).  ``jax.image.resize`` does NOT
+match PyTorch's coordinate conventions, so we build the index/weight tables
+with numpy at trace time (shapes are static under jit) and apply them as
+separable per-axis gathers + lerps (bilinear/nearest) or small matmuls (area).
+
+All functions operate on NHWC arrays (TPU-native layout).  Interpolation
+arithmetic is performed in float32 regardless of input dtype (matching the
+reference's AMP behaviour of running interpolate in fp32 islands) and cast
+back to the input dtype.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["interpolate", "resize", "adaptive_avg_pool"]
+
+
+@functools.lru_cache(maxsize=None)
+def _linear_tables(in_size: int, out_size: int, align_corners: bool):
+    """Source indices (lo, hi) and hi-weights for 1-D linear interpolation.
+
+    Mirrors PyTorch's ``area_pixel_compute_source_index``:
+      align_corners=True :  src = dst * (in-1)/(out-1)
+      align_corners=False:  src = max(0, (dst+0.5) * in/out - 0.5)
+    """
+    dst = np.arange(out_size, dtype=np.float64)
+    if align_corners:
+        if out_size == 1:
+            src = np.zeros_like(dst)
+        else:
+            src = dst * (in_size - 1) / (out_size - 1)
+    else:
+        src = np.maximum((dst + 0.5) * in_size / out_size - 0.5, 0.0)
+    lo = np.floor(src).astype(np.int64)
+    lo = np.clip(lo, 0, in_size - 1)
+    hi = np.minimum(lo + 1, in_size - 1)
+    w_hi = (src - lo).astype(np.float32)
+    return (
+        tuple(lo.tolist()),
+        tuple(hi.tolist()),
+        tuple(w_hi.tolist()),
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _nearest_table(in_size: int, out_size: int):
+    """PyTorch 'nearest' (legacy, the mode the reference uses):
+    src = min(floor(dst * in/out), in-1)."""
+    dst = np.arange(out_size, dtype=np.float64)
+    src = np.minimum(np.floor(dst * (in_size / out_size)), in_size - 1)
+    return tuple(src.astype(np.int64).tolist())
+
+
+@functools.lru_cache(maxsize=None)
+def _area_matrix(in_size: int, out_size: int) -> np.ndarray:
+    """Row-stochastic (out,in) averaging matrix for 'area' interpolation.
+
+    PyTorch 'area' mode == adaptive average pooling: output j averages inputs
+    [floor(j*in/out), ceil((j+1)*in/out)) with equal weights.
+    """
+    mat = np.zeros((out_size, in_size), dtype=np.float32)
+    for j in range(out_size):
+        start = (j * in_size) // out_size
+        end = -((-(j + 1) * in_size) // out_size)  # ceil
+        mat[j, start:end] = 1.0 / (end - start)
+    return mat
+
+
+def _resize_axis_linear(x: jax.Array, axis: int, out_size: int,
+                        align_corners: bool) -> jax.Array:
+    in_size = x.shape[axis]
+    if in_size == out_size:
+        return x
+    lo, hi, w = _linear_tables(in_size, out_size, align_corners)
+    lo = jnp.asarray(lo, dtype=jnp.int32)
+    hi = jnp.asarray(hi, dtype=jnp.int32)
+    w = jnp.asarray(w, dtype=x.dtype)
+    shape = [1] * x.ndim
+    shape[axis] = out_size
+    w = w.reshape(shape)
+    x_lo = jnp.take(x, lo, axis=axis)
+    x_hi = jnp.take(x, hi, axis=axis)
+    return x_lo * (1.0 - w) + x_hi * w
+
+
+def _resize_axis_nearest(x: jax.Array, axis: int, out_size: int) -> jax.Array:
+    in_size = x.shape[axis]
+    if in_size == out_size:
+        return x
+    idx = jnp.asarray(_nearest_table(in_size, out_size), dtype=jnp.int32)
+    return jnp.take(x, idx, axis=axis)
+
+
+def _resize_axis_area(x: jax.Array, axis: int, out_size: int) -> jax.Array:
+    in_size = x.shape[axis]
+    if in_size == out_size:
+        return x
+    mat = jnp.asarray(_area_matrix(in_size, out_size), dtype=x.dtype)
+    x = jnp.moveaxis(x, axis, -1)
+    y = jnp.einsum("...i,oi->...o", x, mat)
+    return jnp.moveaxis(y, -1, axis)
+
+
+def interpolate(x: jax.Array,
+                size: Tuple[int, int],
+                mode: str = "bilinear",
+                align_corners: Optional[bool] = None,
+                spatial_axes: Tuple[int, int] = (1, 2)) -> jax.Array:
+    """torch.nn.functional.interpolate equivalent on NHWC (axes configurable).
+
+    Args:
+      x: input array; spatial dims given by ``spatial_axes`` (default NHWC).
+      size: output (H, W).
+      mode: 'bilinear' | 'nearest' | 'area'.
+      align_corners: required for bilinear, must be None for nearest/area.
+    """
+    ah, aw = spatial_axes
+    oh, ow = int(size[0]), int(size[1])
+    orig_dtype = x.dtype
+    if mode == "nearest":
+        assert align_corners is None
+        x = _resize_axis_nearest(x, ah, oh)
+        x = _resize_axis_nearest(x, aw, ow)
+        return x
+    x = x.astype(jnp.float32)
+    if mode == "bilinear":
+        assert align_corners is not None, "bilinear requires align_corners"
+        x = _resize_axis_linear(x, ah, oh, align_corners)
+        x = _resize_axis_linear(x, aw, ow, align_corners)
+    elif mode == "area":
+        assert align_corners is None
+        x = _resize_axis_area(x, ah, oh)
+        x = _resize_axis_area(x, aw, ow)
+    else:
+        raise ValueError(f"unsupported mode: {mode}")
+    return x.astype(orig_dtype)
+
+
+def resize(x: jax.Array, size: Tuple[int, int], mode: str = "bilinear",
+           align_corners: Optional[bool] = False) -> jax.Array:
+    """NHWC resize; thin alias of :func:`interpolate`."""
+    return interpolate(x, size, mode=mode, align_corners=align_corners)
+
+
+def adaptive_avg_pool(x: jax.Array, out_size: Union[int, Tuple[int, int]],
+                      spatial_axes: Tuple[int, int] = (1, 2)) -> jax.Array:
+    """torch.nn.AdaptiveAvgPool2d equivalent (NHWC by default)."""
+    if isinstance(out_size, int):
+        out_size = (out_size, out_size)
+    orig_dtype = x.dtype
+    x = x.astype(jnp.float32)
+    x = _resize_axis_area(x, spatial_axes[0], out_size[0])
+    x = _resize_axis_area(x, spatial_axes[1], out_size[1])
+    return x.astype(orig_dtype)
