@@ -10,10 +10,23 @@ the test process with a clean environment before jax is imported.
 import os
 import sys
 
-if "axon_site" in os.environ.get("PYTHONPATH", "") and "jax" not in sys.modules:
+if ("axon_site" in os.environ.get("PYTHONPATH", "")
+        and os.environ.get("REFIGN_TPU_CLEAN_REEXEC") != "1"):
+    # pytest has already redirected fds 1/2 into capture tempfiles; restore
+    # the real stdio first or the re-exec'd run's output vanishes.
+    try:
+        import gc
+        from _pytest.capture import CaptureManager
+        for _obj in gc.get_objects():
+            if isinstance(_obj, CaptureManager):
+                _obj.suspend_global_capture(in_=True)
+                break
+    except Exception:
+        pass
     env = dict(os.environ)
     env["PYTHONPATH"] = ""
     env["JAX_PLATFORMS"] = "cpu"
+    env["REFIGN_TPU_CLEAN_REEXEC"] = "1"
     os.execve(sys.executable,
               [sys.executable, "-m", "pytest"] + sys.argv[1:], env)
 
