@@ -1,0 +1,83 @@
+"""Benchmark: HRDA 1080p sliding-window inference throughput (images/sec/chip).
+
+This is the driver-defined headline metric (BASELINE.md: >= 2x A100
+images/sec/chip for HRDA 1080p slide inference).  The pipeline is the full
+Refign-HRDA eval path on a 1080x1920 image (reference
+models/segmentation_model.py:320-382 + models/hrda.py:187-232): an outer
+1080^2/420 slide (1x3 crops) whose crops each run the HRDA multi-res forward
+(LR 540^2 pass + 3x3 inner slide of 540^2 HR crops) through MiT-B5 +
+DAFormer, fused by scale attention, folded with count-mat averaging.
+
+Runs in bfloat16 (fp32 islands preserved inside LN/softmax/interpolate).
+
+``vs_baseline``: measured throughput / (2 x A100_EST) where A100_EST is the
+estimated reference implementation throughput on a single A100 for the same
+pipeline (no published number exists — the reference reports accuracy only,
+SURVEY.md §6).  A100_EST = 2.0 img/s is our standing estimate for the
+torch/Lightning implementation of this ~30x540^2-forwards-per-image
+pipeline; revisit when a measured number becomes available.
+"""
+import json
+import time
+
+import numpy as np
+
+A100_EST_IMG_PER_S = 2.0
+TARGET = 2.0 * A100_EST_IMG_PER_S
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import refign_tpu  # noqa: F401  (sets matmul precision policy)
+    from refign_tpu.models.heads.daformer import DAFormerHead
+    from refign_tpu.models.heads.segformer import SegFormerHead
+    from refign_tpu.models.mix_transformer import MixVisionTransformer
+    from refign_tpu.models.segmentor import Segmentor, slide_inference
+    from refign_tpu.parallel.mesh import cast_floating
+
+    seg = Segmentor(
+        backbone=MixVisionTransformer(model_type="mit_b5",
+                                      drop_path_rate=0.0),
+        head=DAFormerHead(num_classes=19),
+        scale_attention=SegFormerHead(num_classes=19),
+    )
+    key = jax.random.PRNGKey(0)
+    variables = seg.init(key, jnp.zeros((1, 64, 64, 3), jnp.float32),
+                         method=Segmentor.hrda_eval)
+    variables = {"params": cast_floating(variables["params"], jnp.bfloat16),
+                 "batch_stats": variables["batch_stats"]}
+
+    def whole(crops):
+        logits = seg.apply(variables, crops, method=Segmentor.hrda_eval)
+        from refign_tpu.ops.resize import interpolate
+        return interpolate(logits, crops.shape[1:3], mode="bilinear",
+                           align_corners=False)
+
+    @jax.jit
+    def forward(img):
+        return slide_inference(whole, img, (1080, 1080), (420, 420))
+
+    img = jnp.asarray(np.random.randn(1, 1080, 1920, 3), jnp.bfloat16)
+
+    # warmup / compile
+    forward(img).block_until_ready()
+
+    n_iter = 10
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        out = forward(img)
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+    img_per_s = n_iter / dt
+
+    print(json.dumps({
+        "metric": "hrda_1080p_slide_inference_throughput",
+        "value": round(img_per_s, 4),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(img_per_s / TARGET, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -81,13 +81,13 @@ class Segmentor(nn.Module):
         feats = self.backbone(x, deterministic=deterministic)
         return self.head(feats, train=train, deterministic=deterministic)
 
-    def whole(self, x: jax.Array) -> jax.Array:
+    def whole(self, x: jax.Array, train: bool = False) -> jax.Array:
         """Eval-mode logits upsampled to input resolution
         (reference segmentation_model.py:314-318)."""
         if self.scale_attention is not None:
-            logits = self.hrda_eval(x)
+            logits = self.hrda_eval(x, train=train)
         else:
-            logits = self.logits(x)
+            logits = self.logits(x, train=train)
         return interpolate(logits, x.shape[1:3], mode="bilinear",
                            align_corners=False)
 
@@ -156,10 +156,15 @@ class Segmentor(nn.Module):
                                 align_corners=False)
         return fused, hr_logits, crop_offset, lr_feats
 
-    def hrda_eval(self, x: jax.Array) -> jax.Array:
+    def hrda_eval(self, x: jax.Array, train: bool = False) -> jax.Array:
         """HRDA inference forward (reference hrda.py:187-232): LR full pass +
         HR slide crops (crop = LR size, stride = crop/2), count-mat fold,
-        sigmoid scale-attention fusion.  Output at H/os."""
+        sigmoid scale-attention fusion.  Output at H/os.
+
+        ``train=True`` keeps BatchNorm in batch-stats mode (the reference's
+        EMA teacher runs this path with BN still in train mode,
+        segmentation_model.py:691-701); dropout stays off either way.
+        """
         os_ = self.hrda_output_stride
         B, H, W, _ = x.shape
         ch, cw = H // 2, W // 2
@@ -171,11 +176,11 @@ class Segmentor(nn.Module):
         both = jnp.concatenate([lr_x, crops], axis=0)
         both_feats = self.backbone(both, deterministic=True)
         lr_feats = [f[:B] for f in both_feats]
-        both_seg = self.head(both_feats, train=False, deterministic=True)
+        both_seg = self.head(both_feats, train=train, deterministic=True)
         lr_seg, crop_seg = both_seg[:B], both_seg[B:]
 
         att = jax.nn.sigmoid(
-            self.scale_attention(lr_feats, train=False, deterministic=True))
+            self.scale_attention(lr_feats, train=train, deterministic=True))
         lr_seg = (1.0 - att) * lr_seg
         gh, gw = lr_seg.shape[1:3]
         up_lr_seg = interpolate(lr_seg, (2 * gh, 2 * gw), mode="bilinear",

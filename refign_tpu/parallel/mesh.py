@@ -1,0 +1,52 @@
+"""Device mesh + sharding helpers (SURVEY.md §2.8, §5.8).
+
+The reference's only distribution mode is Lightning DDP over NCCL with
+sync-BN.  TPU-native equivalent: a 1-D ``Mesh('data')`` with batch arrays
+sharded on 'data' and parameters replicated; XLA inserts the ICI collectives.
+Because every batch reduction (BN statistics, loss means, metric sums) is a
+global reduce over the sharded axis, sync-BN and distributed metric
+reduction come out of pjit automatically — no explicit psum code.
+"""
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ["make_mesh", "shard_batch", "replicate", "data_sharding",
+           "cast_floating"]
+
+
+def make_mesh(devices: Optional[Sequence] = None,
+              axis_name: str = "data") -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.array(devices), (axis_name,))
+
+
+def data_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
+    return NamedSharding(mesh, P(axis_name))
+
+
+def shard_batch(mesh: Mesh, batch: Any, axis_name: str = "data") -> Any:
+    """Shard every array's leading (batch) axis across the mesh."""
+    sh = NamedSharding(mesh, P(axis_name))
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+
+
+def replicate(mesh: Mesh, tree: Any) -> Any:
+    sh = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+
+
+def cast_floating(tree: Any, dtype) -> Any:
+    """Cast floating leaves (bf16 inference/compute policy)."""
+    import jax.numpy as jnp
+
+    def cast(x):
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating):
+            return x.astype(dtype)
+        return x
+
+    return jax.tree_util.tree_map(cast, tree)
