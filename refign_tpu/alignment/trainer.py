@@ -1,0 +1,211 @@
+"""UAWarpC (alignment) training — fused jittable step.
+
+Reproduces the reference AlignmentModel training semantics
+(models/alignment_model.py:81-146): frozen VGG pyramids at native + 256^2
+resolutions for (ref, trg, prime) in one batched pass, per-sample (i, j)
+pyramid shuffling by ``prime_trg_idx``, three head passes (warp supervision
+prime->i; W-bipath prime->j and j->i), probabilistic Huber losses, and the
+adaptive ss/us weighting (bug-compatibly passing apply_constant_flow_weights
+in the weight_ss slot, alignment_model.py:141-143).
+
+The synthetic target_prime is generated ON DEVICE (alignment/synthetic_flows)
+instead of in CPU dataloader workers.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..ops.resize import interpolate
+from ..ops.warp import confidence_from_logvar
+from .losses import adaptive_loss_weights, multi_scale_flow_loss, wbipath_loss
+from .synthetic_flows import batched_composite_flow
+
+
+@dataclasses.dataclass(frozen=True)
+class AlignConfig:
+    loss_type: str = "HuberLoss"
+    apply_constant_flow_weights: bool = False
+    level_weights: Optional[Tuple[float, ...]] = None
+    # CompositeFlow settings (configs/megadepth/uawarpc_stage1.yaml:44-60)
+    include_transforms: Tuple[str, ...] = ("hom", "tps", "afftps")
+    random_alpha: float = 0.26
+    random_s: float = 0.45
+    random_tx: float = 0.25
+    random_ty: float = 0.25
+    random_t_hom: float = 0.333
+    random_t_tps: float = 0.333
+    random_t_tps_for_afftps: float = 0.08
+    add_elastic: bool = False
+
+
+class AlignTrainState(NamedTuple):
+    step: jax.Array
+    params: Any              # head params (trainable)
+    batch_stats: Any         # head BN stats
+    backbone_params: Any     # frozen VGG
+    opt_state: Any
+
+
+def init_align_state(head_vars, backbone_params, tx) -> AlignTrainState:
+    return AlignTrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=head_vars["params"],
+        batch_stats=head_vars.get("batch_stats", {}),
+        backbone_params=backbone_params,
+        opt_state=tx.init(head_vars["params"]),
+    )
+
+
+def prepare_alignment_batch(rng, images_ref, images_trg, cfg: AlignConfig):
+    """Synthesize the prime view (reference megadepth.py:408-413 +
+    CompositeFlow transform): per-sample coin picks the base image
+    (prime_trg_idx=1 -> derived from trg), then a random geometric flow
+    warps it."""
+    B = images_ref.shape[0]
+    k_coin, k_flow = jax.random.split(rng)
+    prime_trg_idx = jax.random.bernoulli(k_coin, 0.5, (B,))
+    base = jnp.where(prime_trg_idx[:, None, None, None],
+                     images_trg, images_ref)
+    image_prime, flow_prime, mask_prime = batched_composite_flow(
+        k_flow, base,
+        include_transforms=cfg.include_transforms,
+        random_alpha=cfg.random_alpha, random_s=cfg.random_s,
+        random_tx=cfg.random_tx, random_ty=cfg.random_ty,
+        random_t_tps=cfg.random_t_tps, random_t_hom=cfg.random_t_hom,
+        random_t_tps_for_afftps=cfg.random_t_tps_for_afftps,
+        add_elastic=cfg.add_elastic)
+    return {
+        "image_prime": image_prime,
+        "flow_prime": flow_prime,
+        "mask_prime": mask_prime,
+        "prime_trg_idx": prime_trg_idx.astype(jnp.int32),
+    }
+
+
+def extract_pyramids(backbone, backbone_params, images_ref, images_trg,
+                     images_prime):
+    """Frozen VGG pyramids at native and 256^2 resolutions for all three
+    image sets in one batched pass each (reference :96-105)."""
+    B = images_ref.shape[0]
+    to256 = lambda x: interpolate(x, (256, 256), mode="area")
+    stack = jnp.concatenate([images_ref, images_trg, images_prime])
+    stack256 = jnp.concatenate(
+        [to256(images_ref), to256(images_trg), to256(images_prime)])
+    vars_ = {"params": backbone_params}
+    full = backbone.apply(vars_, stack, extract_only_indices=[-3, -2])
+    small = backbone.apply(vars_, stack256, extract_only_indices=[-2, -1])
+    split = lambda fs: ([f[:B] for f in fs], [f[B:2 * B] for f in fs],
+                        [f[2 * B:] for f in fs])
+    pyr_ref, pyr_trg, pyr_prime = split(full)
+    pyr_ref_256, pyr_trg_256, pyr_prime_256 = split(small)
+    return ((pyr_ref, pyr_trg, pyr_prime),
+            (pyr_ref_256, pyr_trg_256, pyr_prime_256))
+
+
+def _select(idx, a_list, b_list):
+    """Per-sample select: out[k] = b[k] if idx[k] else a[k]."""
+    sel = []
+    for a, b in zip(a_list, b_list):
+        m = idx.reshape((-1,) + (1,) * (a.ndim - 1)).astype(bool)
+        sel.append(jnp.where(m, b, a))
+    return sel
+
+
+def make_align_train_step(backbone, head, tx, cfg: AlignConfig):
+    """Returns train_step(state, batch, rng) -> (state, logs).
+
+    batch: image_ref, image_trg (B,H,W,3) normalized.  The prime view and
+    synthetic flow are generated inside the step.
+    """
+
+    def train_step(state: AlignTrainState, batch: Dict[str, jax.Array],
+                   rng: jax.Array):
+        k_prime, k_drop = jax.random.split(rng)
+        images_ref = batch["image_ref"]
+        images_trg = batch["image_trg"]
+        H, W = images_trg.shape[1:3]
+
+        prime = jax.lax.stop_gradient(
+            prepare_alignment_batch(k_prime, images_ref, images_trg, cfg))
+        idx = prime["prime_trg_idx"]
+
+        (pyrs, pyrs256) = jax.lax.stop_gradient(extract_pyramids(
+            backbone, state.backbone_params, images_ref, images_trg,
+            prime["image_prime"]))
+        (pyr_ref, pyr_trg, pyr_prime) = pyrs
+        (pyr_ref_256, pyr_trg_256, pyr_prime_256) = pyrs256
+        # i = the image the prime was derived from; j = the other
+        pyr_i = _select(idx, pyr_ref, pyr_trg)
+        pyr_j = _select(1 - idx, pyr_ref, pyr_trg)
+        pyr_i_256 = _select(idx, pyr_ref_256, pyr_trg_256)
+        pyr_j_256 = _select(1 - idx, pyr_ref_256, pyr_trg_256)
+
+        def loss_fn(params):
+            variables = {"params": params, "batch_stats": state.batch_stats}
+
+            def head_pass(vs, src_pyr, trg_pyr, src256, trg256):
+                out, mut = head.apply(
+                    vs, src_pyr, trg_pyr, src256, trg256, (H, W),
+                    train=True, mutable=["batch_stats"])
+                return out, {"params": params,
+                             "batch_stats": mut["batch_stats"]}
+
+            prime_i, variables = head_pass(
+                variables, pyr_prime, pyr_i, pyr_prime_256, pyr_i_256)
+            prime_j, variables = head_pass(
+                variables, pyr_prime, pyr_j, pyr_prime_256, pyr_j_256)
+            j_i, variables = head_pass(
+                variables, pyr_j, pyr_i, pyr_j_256, pyr_i_256)
+
+            ss = multi_scale_flow_loss(
+                prime_i, prime["flow_prime"], prime["mask_prime"],
+                loss_type=cfg.loss_type, level_weights=cfg.level_weights)
+            us = wbipath_loss(
+                prime_j, j_i, prime["flow_prime"], prime["mask_prime"],
+                loss_type=cfg.loss_type, level_weights=cfg.level_weights)
+            w_ss, w_us = adaptive_loss_weights(
+                jax.lax.stop_gradient(ss), jax.lax.stop_gradient(us),
+                weight_ss=float(cfg.apply_constant_flow_weights))
+            loss = w_ss * ss + w_us * us
+            logs = {"train_matching_loss": loss, "loss_ss": ss,
+                    "loss_us": us}
+            return loss, (variables["batch_stats"], logs)
+
+        (loss, (new_stats, logs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return state._replace(step=state.step + 1, params=new_params,
+                              batch_stats=new_stats,
+                              opt_state=new_opt), logs
+
+    return train_step
+
+
+def align_forward(backbone, head, backbone_params, head_vars,
+                  images_i, images_j):
+    """AlignmentModel.forward (reference :55-79): flow i->j at image res and
+    1 - P_R uncertainty."""
+    B, H, W = images_i.shape[:3]
+    to256 = lambda x: interpolate(x, (256, 256), mode="area")
+    vars_b = {"params": backbone_params}
+    stack = jnp.concatenate([images_j, images_i])
+    full = backbone.apply(vars_b, stack, extract_only_indices=[-3, -2])
+    small = backbone.apply(vars_b, jnp.concatenate(
+        [to256(images_j), to256(images_i)]), extract_only_indices=[-2, -1])
+    pyr_j = [f[:B] for f in full]
+    pyr_i = [f[B:] for f in full]
+    pyr_j_256 = [f[:B] for f in small]
+    pyr_i_256 = [f[B:] for f in small]
+    flow, logvar = head.apply(head_vars, pyr_i, pyr_j, pyr_i_256, pyr_j_256,
+                              (H, W))[-1]
+    flow = interpolate(flow, (H, W), mode="bilinear", align_corners=False)
+    logvar = interpolate(logvar, (H, W), mode="bilinear",
+                         align_corners=False)
+    uncert = 1.0 - confidence_from_logvar(logvar, R=1.0)
+    return flow, uncert

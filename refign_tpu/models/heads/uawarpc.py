@@ -41,8 +41,12 @@ from ...nn.layers import conv2d
 
 
 def _l2norm_channels(x: jax.Array) -> jax.Array:
-    n = jnp.linalg.norm(x.astype(jnp.float32), axis=-1, keepdims=True)
-    return (x / jnp.maximum(n, 1e-12)).astype(x.dtype)
+    # sqrt(max(ss, eps^2)) == max(||x||, eps) with a zero (not NaN) gradient
+    # in the clamped branch — torch F.normalize semantics
+    x32 = x.astype(jnp.float32)
+    ss = jnp.sum(jnp.square(x32), axis=-1, keepdims=True)
+    n = jnp.sqrt(jnp.maximum(ss, 1e-24))
+    return (x32 / n).astype(x.dtype)
 
 
 def _scale_flow(flow: jax.Array, sx: float, sy: float) -> jax.Array:

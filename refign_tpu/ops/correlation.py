@@ -56,8 +56,9 @@ def local_correlation_relu_l2norm(target: jax.Array, source: jax.Array,
     """
     corr = local_correlation(target, source, patch_size)
     corr = jnp.maximum(corr, 0.0)
-    norm = jnp.linalg.norm(corr, axis=-1, keepdims=True)
-    return corr / jnp.maximum(norm, 1e-12)
+    # safe norm: clamped branch has zero (not NaN) gradient
+    ss = jnp.sum(jnp.square(corr), axis=-1, keepdims=True)
+    return corr / jnp.sqrt(jnp.maximum(ss, 1e-24))
 
 
 def global_correlation(source: jax.Array, target: jax.Array) -> jax.Array:
@@ -101,5 +102,5 @@ def global_correlation_relu_l2norm(source: jax.Array, target: jax.Array,
     if cyclic_consistency:
         corr = mutual_matching(corr)
     corr = jnp.maximum(corr, 0.0)
-    norm = jnp.linalg.norm(corr, axis=-1, keepdims=True)
-    return corr / jnp.maximum(norm, 1e-12)
+    ss = jnp.sum(jnp.square(corr), axis=-1, keepdims=True)
+    return corr / jnp.sqrt(jnp.maximum(ss, 1e-24))

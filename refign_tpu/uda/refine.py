@@ -99,7 +99,8 @@ def masked_feat_dist(f1: jax.Array, f2: jax.Array,
                      mask: Optional[jax.Array] = None) -> jax.Array:
     """Mean L2 norm of feature difference over masked positions
     (reference :621-635).  f*: (B, h, w, C); mask: (B, h, w) bool."""
-    d = jnp.linalg.norm((f1 - f2).astype(jnp.float32), axis=-1)
+    ss = jnp.sum(jnp.square((f1 - f2).astype(jnp.float32)), axis=-1)
+    d = jnp.sqrt(jnp.maximum(ss, 1e-24))  # zero-safe gradient
     if mask is None:
         return jnp.mean(d)
     m = mask.astype(jnp.float32)

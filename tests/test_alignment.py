@@ -1,0 +1,199 @@
+"""Alignment training: loss oracles vs reference torch, synthetic-flow
+geometry oracles, and a train-step smoke test."""
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+import ref_oracle
+from refign_tpu.alignment.losses import (adaptive_loss_weights,
+                                         multi_scale_flow_loss, wbipath_loss)
+from refign_tpu.alignment.synthetic_flows import (apply_synthetic_flow,
+                                                  homography_mapping,
+                                                  tps_mapping)
+from refign_tpu.alignment.trainer import (AlignConfig, align_forward,
+                                          init_align_state,
+                                          make_align_train_step,
+                                          prepare_alignment_batch)
+from refign_tpu.models.heads.uawarpc import UAWarpCHead
+from refign_tpu.models.vgg import VGG
+from refign_tpu.train.optim import make_adam_optimizer
+
+
+def _nchw(a):
+    return torch.from_numpy(np.transpose(a, (0, 3, 1, 2)))
+
+
+def _pyramid(rng, B, shapes):
+    """[(flow (B,h,w,2), uncert (B,h,w,1))] random pyramid."""
+    return [
+        (rng.randn(B, h, w, 2).astype(np.float32) * 3,
+         rng.randn(B, h, w, 1).astype(np.float32))
+        for (h, w) in shapes
+    ]
+
+
+def test_multiscale_flow_loss_matches_reference():
+    losses = ref_oracle.load_ref_module("models.losses")
+    ref_loss = losses.MultiScaleFlowLoss(loss_type="HuberLoss")
+    rng = np.random.RandomState(0)
+    B, H, W = 2, 32, 48
+    pyr = _pyramid(rng, B, [(4, 6), (8, 12), (16, 24), (32, 48)])
+    gt = rng.randn(B, H, W, 2).astype(np.float32) * 3
+    mask = (rng.rand(B, H, W) > 0.3)
+
+    pyr_t = [(_nchw(f), _nchw(u)) for f, u in pyr]
+    want = ref_loss(pyr_t, _nchw(gt), mask=torch.from_numpy(mask)).item()
+    got = float(multi_scale_flow_loss(
+        [(jnp.asarray(f), jnp.asarray(u)) for f, u in pyr],
+        jnp.asarray(gt), jnp.asarray(mask), loss_type="HuberLoss"))
+    assert abs(got - want) < 1e-3 * max(1, abs(want)), (got, want)
+
+
+def test_wbipath_loss_matches_reference():
+    losses = ref_oracle.load_ref_module("models.losses")
+    ref_loss = losses.WBipathLoss(objective="multi_scale_flow_loss",
+                                  loss_type="HuberLoss")
+    rng = np.random.RandomState(1)
+    B, H, W = 2, 32, 48
+    shapes = [(4, 6), (8, 12), (16, 24), (32, 48)]
+    pyr_a = _pyramid(rng, B, shapes)
+    pyr_b = _pyramid(rng, B, shapes)
+    gt = rng.randn(B, H, W, 2).astype(np.float32) * 3
+    mask = (rng.rand(B, H, W) > 0.3)
+
+    want = ref_loss(
+        [(_nchw(f), _nchw(u)) for f, u in pyr_a],
+        [(_nchw(f), _nchw(u)) for f, u in pyr_b],
+        _nchw(gt), torch.from_numpy(mask)).item()
+    got = float(wbipath_loss(
+        [(jnp.asarray(f), jnp.asarray(u)) for f, u in pyr_a],
+        [(jnp.asarray(f), jnp.asarray(u)) for f, u in pyr_b],
+        jnp.asarray(gt), jnp.asarray(mask), loss_type="HuberLoss"))
+    assert abs(got - want) < 1e-3 * max(1, abs(want)), (got, want)
+
+
+def test_adaptive_weights_match_reference_formula():
+    # expected values hand-derived from alignment_model.py:217-232 with the
+    # reference's positional-arg quirk (apply_constant_flow_weights=False
+    # lands in weight_ss -> ratio = 0):
+    #   loss_un > loss_ss: s = clamp(un/ss * 0) = 0, u = 1
+    #   else:              s = 1, u = clamp(ss/un / 0) = inf -> 100
+    cases = [
+        ((1.0, 2.0), (0.0, 1.0)),
+        ((2.0, 1.0), (1.0, 100.0)),
+        ((0.5, 0.50001), (0.0, 1.0)),
+    ]
+    for (ss, us), want in cases:
+        got = adaptive_loss_weights(jnp.asarray(ss), jnp.asarray(us),
+                                    weight_ss=0.0)
+        assert abs(float(got[0]) - want[0]) < 1e-4, (ss, us, got, want)
+        assert abs(float(got[1]) - want[1]) < 1e-4, (ss, us, got, want)
+
+    # sane mode: weight_ss=1 (ratio 1) gives the intended adaptive weights
+    got = adaptive_loss_weights(jnp.asarray(1.0), jnp.asarray(3.0),
+                                weight_ss=1.0)
+    assert abs(float(got[0]) - 3.0) < 1e-4 and abs(float(got[1]) - 1.0) < 1e-4
+
+
+def test_homography_identity_and_oracle():
+    # zero perturbation -> identity mapping -> zero flow
+    from refign_tpu.ops.warp import unnormalize_mapping_to_flow
+    m = homography_mapping(jax.random.PRNGKey(0), 16, 20, random_t_hom=0.0)
+    flow = unnormalize_mapping_to_flow(m)
+    np.testing.assert_allclose(np.asarray(flow), 0.0, atol=1e-4)
+
+    # oracle: same theta through the reference DLT solve
+    tr = ref_oracle.load_ref_module("data_modules.transforms")
+    rand_vals = torch.tensor([0.1, 0.9, 0.3, 0.7, 0.5, 0.2, 0.8, 0.4])
+    orig_rand = torch.rand
+    try:
+        torch.rand = lambda *a, **k: rand_vals.clone()
+        want = tr.RandomHomography.get_params(0.333, 16, 20, False,
+                                              "cpu").numpy()
+    finally:
+        torch.rand = orig_rand
+    # same theta through my DLT path
+    base = jnp.array([-1., -1., 1., 1., -1., 1., -1., 1.])
+    theta = base + (jnp.asarray(rand_vals.numpy()) - 0.5) * 2 * 0.333
+    got = np.asarray(homography_mapping(None, 16, 20, theta=theta))
+    np.testing.assert_allclose(got, want[0], rtol=1e-4, atol=1e-4)
+
+
+def test_tps_oracle():
+    tr = ref_oracle.load_ref_module("data_modules.transforms")
+    ref_tps = tr.RandomTPS(random_t_tps=0.333)
+    rand_vals = torch.linspace(0.05, 0.95, 18)
+    orig_rand = torch.rand
+    try:
+        torch.rand = lambda *a, **k: rand_vals.clone()
+        want = ref_tps.get_params(0.333, 12, 18, ref_tps.N, ref_tps.Li,
+                                  ref_tps.P_X, ref_tps.P_Y, False,
+                                  "cpu").numpy()
+    finally:
+        torch.rand = orig_rand
+
+    from refign_tpu.alignment.synthetic_flows import _tps_control
+    P_X, P_Y, Li, N = _tps_control(3)
+    base = jnp.concatenate([jnp.asarray(P_X), jnp.asarray(P_Y)])
+    theta = base + (jnp.asarray(rand_vals.numpy()) - 0.5) * 2 * 0.333
+    got = np.asarray(tps_mapping(None, 12, 18, theta=theta))
+    np.testing.assert_allclose(got, want[0], rtol=1e-3, atol=1e-4)
+
+
+def test_apply_synthetic_flow_masks():
+    rng = np.random.RandomState(2)
+    img = rng.rand(16, 20, 3).astype(np.float32)
+    flow = np.zeros((16, 20, 2), np.float32)
+    flow[..., 0] = 3.0  # shift right: last 3 source columns out of bounds
+    warped, f, mask = apply_synthetic_flow(jnp.asarray(img),
+                                           jnp.asarray(flow))
+    mask = np.asarray(mask)
+    # warp mask uses strict in-bounds tests: border rows (y=0, y=H-1 at zero
+    # y-flow) are excluded, interior columns valid up to x=15 (x+3 < W-1)
+    assert mask[1:-1, :16].all()
+    assert not mask[:, 17:].any()
+    assert not mask[0].any() and not mask[-1].any()
+
+
+def test_align_train_step_runs():
+    backbone = VGG(model_type="vgg11", out_indices=(2, 3, 4))
+    head = UAWarpCHead(in_index=(0, 1), estimate_uncertainty=True)
+    key = jax.random.PRNGKey(0)
+    rng = np.random.RandomState(3)
+    B, H, W = 2, 64, 64
+    batch = {
+        "image_ref": rng.randn(B, H, W, 3).astype(np.float32),
+        "image_trg": rng.randn(B, H, W, 3).astype(np.float32),
+    }
+    bvars = backbone.init(key, np.zeros((1, 256, 256, 3), np.float32))
+    feats = backbone.apply(bvars, np.zeros((1, H, W, 3), np.float32),
+                           extract_only_indices=[-3, -2])
+    feats256 = backbone.apply(bvars, np.zeros((1, 256, 256, 3), np.float32),
+                              extract_only_indices=[-2, -1])
+    hvars = head.init(key, feats, feats, feats256, feats256, (H, W))
+
+    cfg = AlignConfig()
+    tx, _ = make_adam_optimizer(1e-4, [100], weight_decay=4e-4)
+    state = init_align_state(hvars, bvars["params"], tx)
+    step = jax.jit(make_align_train_step(backbone, head, tx, cfg))
+    new_state, logs = step(state, batch, key)
+    assert np.isfinite(float(logs["train_matching_loss"]))
+    assert np.isfinite(float(logs["loss_ss"]))
+    assert np.isfinite(float(logs["loss_us"]))
+    assert int(new_state.step) == 1
+    # frozen backbone unchanged
+    b0 = jax.tree_util.tree_leaves(state.backbone_params)[0]
+    b1 = jax.tree_util.tree_leaves(new_state.backbone_params)[0]
+    np.testing.assert_array_equal(np.asarray(b0), np.asarray(b1))
+
+    # inference path
+    flow, uncert = align_forward(backbone, head, bvars["params"],
+                                 {"params": new_state.params,
+                                  "batch_stats": new_state.batch_stats},
+                                 batch["image_trg"], batch["image_ref"])
+    assert flow.shape == (B, H, W, 2)
+    assert uncert.shape == (B, H, W, 1)
+    assert np.isfinite(np.asarray(flow)).all()
