@@ -1,0 +1,111 @@
+"""Batching, collation, and threaded prefetch for host datasets.
+
+Replaces the reference's torch DataLoader usage
+(data_modules/combined_data_module.py:203-261 + my_collate :18-28).  PIL
+decode releases the GIL, so a thread pool gives parallel decode without
+worker processes; batches are prefetched into a bounded queue so the TPU
+never stalls on input (SURVEY.md §7.3 item 5).
+
+Collation stacks numpy arrays; ragged correspondence arrays
+('corr_pts', 'corr_pts_ref') stay as lists (sparse metrics sample dense
+flows host-side, no static shapes needed).
+"""
+from __future__ import annotations
+
+import queue
+import random as pyrandom
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Any, Dict, Iterator, List, Optional
+
+import numpy as np
+
+RAGGED_KEYS = ("corr_pts", "corr_pts_ref")
+
+
+def collate(samples: List[Dict[str, Any]]) -> Dict[str, Any]:
+    out: Dict[str, Any] = {}
+    for key in samples[0]:
+        vals = [s[key] for s in samples]
+        if key in RAGGED_KEYS:
+            out[key] = [np.asarray(v) for v in vals]
+        elif isinstance(vals[0], np.ndarray):
+            out[key] = np.stack(vals)
+        elif isinstance(vals[0], (int, float, np.integer, np.floating)):
+            out[key] = np.asarray(vals)
+        else:
+            out[key] = vals  # e.g. filenames
+    return out
+
+
+class DataLoader:
+    """Map-style loader: shuffle, batch, drop_last, threaded prefetch."""
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = False,
+                 drop_last: bool = False, num_workers: int = 4,
+                 prefetch: int = 2, seed: int = 0):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.num_workers = max(1, num_workers)
+        self.prefetch = prefetch
+        self.seed = seed
+        self.epoch = 0
+
+    def __len__(self):
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else (
+            (n + self.batch_size - 1) // self.batch_size)
+
+    def _index_batches(self):
+        idx = list(range(len(self.dataset)))
+        if self.shuffle:
+            pyrandom.Random(self.seed + self.epoch).shuffle(idx)
+        batches = [idx[i:i + self.batch_size]
+                   for i in range(0, len(idx), self.batch_size)]
+        if self.drop_last:
+            batches = [b for b in batches if len(b) == self.batch_size]
+        return batches
+
+    def __iter__(self) -> Iterator[Dict[str, Any]]:
+        batches = self._index_batches()
+        self.epoch += 1
+        pool = ThreadPoolExecutor(max_workers=self.num_workers)
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def produce():
+            try:
+                for b in batches:
+                    if stop.is_set():
+                        return
+                    samples = list(pool.map(
+                        self.dataset.__getitem__, b))
+                    q.put(collate(samples))
+            finally:
+                q.put(None)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                yield item
+        finally:
+            stop.set()
+            pool.shutdown(wait=False)
+
+
+class InfiniteLoader:
+    """Cycles a DataLoader forever (training uses step counts, not epochs;
+    reference trainer `max_steps`, refign_hrda_star.yaml:148-161)."""
+
+    def __init__(self, loader: DataLoader):
+        self.loader = loader
+
+    def __iter__(self):
+        while True:
+            yield from self.loader

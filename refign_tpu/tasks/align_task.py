@@ -1,0 +1,180 @@
+"""Alignment (UAWarpC) task: fit / validate / test.
+
+Glue equivalent of the reference AlignmentModel + Lightning runtime
+(models/alignment_model.py): frozen VGG + UAWarpC head training with
+on-device synthetic-flow supervision, and sparse EPE/PCK/AUSE evaluation.
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..alignment.trainer import (AlignConfig, align_forward,
+                                 init_align_state, make_align_train_step)
+from ..config import OptimizerSpec, SchedulerSpec, build_backbone, build_head
+from ..config import parse_metrics
+from ..parallel.mesh import make_mesh, replicate, shard_batch
+from ..train.optim import make_adam_optimizer
+from ..utils.checkpoint import (load_torch_alignment_head,
+                                restore_checkpoint, save_checkpoint)
+from ..utils.sparse_epe import SparseEPE
+
+
+class AlignTask:
+
+    def __init__(self, margs: Dict[str, Any], opt: OptimizerSpec,
+                 sched: SchedulerSpec, trainer_cfg: Dict[str, Any],
+                 datamodule):
+        self.margs = margs
+        self.opt = opt
+        self.sched = sched
+        self.trainer_cfg = trainer_cfg or {}
+        self.datamodule = datamodule
+        self.backbone, self.backbone_pretrained = build_backbone(
+            margs["alignment_backbone"])
+        self.head, self.head_pretrained = build_head(
+            margs["alignment_head"])
+        cf = dict(datamodule.composite_flow_settings or {})
+        cf.pop("apply_keys", None)
+        self.align_cfg = AlignConfig(
+            apply_constant_flow_weights=margs.get(
+                "apply_constant_flow_weights", False),
+            include_transforms=tuple(cf.get("include_transforms",
+                                            ("hom", "tps", "afftps"))),
+            random_alpha=cf.get("random_alpha", 0.26),
+            random_s=cf.get("random_s", 0.45),
+            random_tx=cf.get("random_tx", 0.25),
+            random_ty=cf.get("random_ty", 0.25),
+            random_t_hom=cf.get("random_t_hom", 0.333),
+            random_t_tps=cf.get("random_t_tps", 0.333),
+            random_t_tps_for_afftps=cf.get("random_t_tps_for_afftps", 0.08),
+            add_elastic=cf.get("add_elastic", False),
+        )
+        self.pretrained = margs.get("pretrained")
+        self.metrics_cfg = parse_metrics(margs.get("metrics", {}))
+        self.mesh = make_mesh()
+
+    def init_state(self, rng, image_hw=(256, 256)):
+        H, W = image_hw
+        bvars = self.backbone.init(
+            rng, jnp.zeros((1, 256, 256, 3), jnp.float32))
+        feats = self.backbone.apply(
+            bvars, jnp.zeros((1, H, W, 3), jnp.float32),
+            extract_only_indices=[-3, -2])
+        feats256 = self.backbone.apply(
+            bvars, jnp.zeros((1, 256, 256, 3), jnp.float32),
+            extract_only_indices=[-2, -1])
+        hvars = self.head.init(rng, feats, feats, feats256, feats256,
+                               (H, W))
+        if self.head_pretrained and os.path.exists(self.head_pretrained):
+            loaded = load_torch_alignment_head(self.head_pretrained)
+            hvars = {"params": loaded["params"],
+                     "batch_stats": loaded["batch_stats"]}
+        tx, _ = make_adam_optimizer(self.opt.lr,
+                                    self.sched.milestones or [10 ** 9],
+                                    gamma=self.sched.gamma,
+                                    weight_decay=self.opt.weight_decay)
+        self.tx = tx
+        return init_align_state(hvars, bvars["params"], tx)
+
+    # ------------------------------------------------------------------- fit
+
+    def fit(self, workdir: str, seed: int = 0,
+            resume: Optional[str] = None) -> Dict[str, float]:
+        from ..data.loader import InfiniteLoader
+        os.makedirs(workdir, exist_ok=True)
+        self.datamodule.setup("fit")
+        loaders = self.datamodule.train_dataloaders()
+        it = iter(InfiniteLoader(loaders[0]))
+
+        rng = jax.random.PRNGKey(seed)
+        state = self.init_state(rng)
+        if resume:
+            state = restore_checkpoint(resume, state)
+        import math
+        probe = next(it)
+        n_dev = math.gcd(len(jax.devices()), probe["image"].shape[0])
+        self.mesh = make_mesh(jax.devices()[:max(n_dev, 1)])
+        state = replicate(self.mesh, state)
+        step_fn = jax.jit(make_align_train_step(
+            self.backbone, self.head, self.tx, self.align_cfg))
+
+        max_steps = int(self.trainer_cfg.get("max_steps", 400000))
+        val_every = int(self.trainer_cfg.get("val_every_n_steps",
+                                             max_steps))
+        log_every = int(self.trainer_cfg.get("log_every_n_steps", 50))
+        ckpt_dir = os.path.join(workdir, "checkpoints")
+        logf = open(os.path.join(workdir, "metrics.jsonl"), "a")
+        t0 = time.time()
+        start_step = int(state.step)
+        for step in range(start_step, max_steps):
+            raw = next(it)
+            batch = {"image_ref": raw["image_ref"],
+                     "image_trg": raw["image"]}
+            batch = shard_batch(self.mesh, batch)
+            rng, krun = jax.random.split(rng)
+            state, logs = step_fn(state, batch, krun)
+            if (step + 1) % log_every == 0 or step == start_step:
+                logs = {k: float(v) for k, v in logs.items()}
+                logs.update(step=step + 1,
+                            sps=(step + 1 - start_step)
+                            / max(time.time() - t0, 1e-9))
+                print(f"[fit] {json.dumps(logs)}", flush=True)
+                logf.write(json.dumps(logs) + "\n")
+                logf.flush()
+            if (step + 1) % val_every == 0 or step + 1 == max_steps:
+                metrics = self.evaluate("val", state=jax.device_get(state))
+                print(f"[val] step {step + 1}: {metrics}", flush=True)
+                logf.write(json.dumps({"step": step + 1, **metrics}) + "\n")
+                logf.flush()
+                save_checkpoint(ckpt_dir, jax.device_get(state), step + 1)
+        save_checkpoint(ckpt_dir, jax.device_get(state), max_steps)
+        logf.close()
+        return {"final_step": max_steps}
+
+    # ------------------------------------------------------------------ eval
+
+    def evaluate(self, stage: str, state=None, rng=None) -> Dict[str, float]:
+        if stage not in self.datamodule.datasets:
+            self.datamodule.setup("validate" if stage == "val" else stage)
+        if state is None:
+            state = self.init_state(rng or jax.random.PRNGKey(0))
+        head_vars = {"params": state.params,
+                     "batch_stats": state.batch_stats}
+        bb_params = state.backbone_params
+
+        fwd_cache = {}
+
+        def fwd(images_trg, images_ref):
+            key = images_trg.shape
+            if key not in fwd_cache:
+                fwd_cache[key] = jax.jit(
+                    lambda t, r: align_forward(
+                        self.backbone, self.head, bb_params, head_vars,
+                        t, r))
+            return fwd_cache[key](images_trg, images_ref)
+
+        results = {}
+        loaders = self.datamodule.eval_dataloaders(stage)
+        names = self.datamodule.stage_on[stage]
+        for name, loader in zip(names, loaders):
+            specs = self.metrics_cfg.get(stage, {}).get(
+                name, [("SparseEPE", {})])
+            metric = SparseEPE(uncertainty_estimation=any(
+                a.get("uncertainty_estimation") for _, a in specs))
+            for batch in loader:
+                flow, uncert = fwd(jnp.asarray(batch["image"]),
+                                   jnp.asarray(batch["image_ref"]))
+                h, w = batch["image"].shape[1:3]
+                metric.update(np.asarray(flow), batch["corr_pts_ref"],
+                              batch["corr_pts"], (h, w),
+                              np.asarray(uncert))
+            for k, v in metric.compute().items():
+                results[f"{stage}_{name}_{k}"] = float(v)
+        return results

@@ -1,0 +1,361 @@
+"""Domain-adaptive segmentation task: fit / validate / test / predict.
+
+Glue equivalent of the reference's DomainAdaptationSegmentationModel +
+Lightning Trainer runtime (models/segmentation_model.py, SURVEY.md §1 L3-L4):
+owns the Segmentor (student), the UDA train step (EMA teacher, align,
+refine, DACS, fdist), slide/whole inference, per-dataset IoU evaluation,
+prediction PNG export, and orbax checkpointing — all running under a
+data-parallel mesh.
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import OptimizerSpec, SchedulerSpec, build_backbone, build_head
+from ..config import parse_metrics
+from ..metrics import iou_compute, iou_init, iou_update
+from ..models.segmentor import Segmentor, slide_inference
+from ..ops.resize import interpolate
+from ..parallel.mesh import make_mesh, replicate, shard_batch
+from ..train.optim import make_uda_optimizer
+from ..uda.trainer import (UDAConfig, UDATrainState, init_uda_state,
+                           make_uda_train_step)
+from ..utils.checkpoint import (load_torch_alignment_head,
+                                load_torch_backbone, load_torch_full_uda,
+                                restore_checkpoint, save_checkpoint)
+from ..utils.palette import colorize_mask
+
+
+class SegTask:
+
+    def __init__(self, margs: Dict[str, Any], opt: OptimizerSpec,
+                 sched: SchedulerSpec, trainer_cfg: Dict[str, Any],
+                 datamodule):
+        self.margs = margs
+        self.opt = opt
+        self.sched = sched
+        self.trainer_cfg = trainer_cfg or {}
+        self.datamodule = datamodule
+
+        self.backbone, self.backbone_pretrained = build_backbone(
+            margs["backbone"])
+        self.head, _ = build_head(margs["head"])
+        self.num_classes = self.head.num_classes
+        self.use_hrda = margs.get("use_hrda", False)
+        scale_attention = None
+        if self.use_hrda and margs.get("hrda_scale_attention"):
+            scale_attention, _ = build_head(margs["hrda_scale_attention"])
+        self.segmentor = Segmentor(
+            backbone=self.backbone, head=self.head,
+            scale_attention=scale_attention,
+            hrda_output_stride=margs.get("hrda_output_stride", 4))
+
+        self.align_backbone = self.align_head = None
+        self.align_head_pretrained = None
+        if margs.get("alignment_backbone") and margs.get("alignment_head"):
+            self.align_backbone, self.align_backbone_pretrained = \
+                build_backbone(margs["alignment_backbone"])
+            self.align_head, self.align_head_pretrained = build_head(
+                margs["alignment_head"])
+
+        self.uda_cfg = UDAConfig(
+            num_classes=self.num_classes,
+            use_hrda=self.use_hrda,
+            hrda_output_stride=margs.get("hrda_output_stride", 4),
+            hr_loss_weight=margs.get("hr_loss_weight", 0.1),
+            use_refign=margs.get("use_refign", False),
+            use_align=margs.get("use_align", True),
+            adapt_to_ref=margs.get("adapt_to_ref", False),
+            gamma=margs.get("gamma", 0.25),
+            disable_M=margs.get("disable_M", False),
+            disable_P=margs.get("disable_P", False),
+            ema_momentum=margs.get("ema_momentum", 0.999),
+            pseudo_label_threshold=margs.get("pseudo_label_threshold",
+                                             0.968),
+            psweight_ignore_top=margs.get("psweight_ignore_top", 0),
+            psweight_ignore_bottom=margs.get("psweight_ignore_bottom", 0),
+            enable_fdist=margs.get("enable_fdist", True),
+            fdist_lambda=margs.get("fdist_lambda", 0.005),
+            fdist_classes=tuple(margs.get(
+                "fdist_classes", (6, 7, 11, 12, 13, 14, 15, 16, 17, 18))),
+            fdist_scale_min_ratio=margs.get("fdist_scale_min_ratio", 0.75),
+            color_jitter_s=margs.get("color_jitter_s", 0.2),
+            color_jitter_p=margs.get("color_jitter_p", 0.2),
+            blur=margs.get("blur", True),
+        )
+        self.backbone_lr_factor = margs.get("backbone_lr_factor", 1.0)
+        self.use_slide_inference = margs.get("use_slide_inference", False)
+        self.inference_crop_size = tuple(margs.get("inference_crop_size",
+                                                   (1080, 1080)))
+        self.inference_stride = tuple(margs.get("inference_stride",
+                                                (420, 420)))
+        self.metrics_cfg = parse_metrics(margs.get("metrics", {}))
+        self.pretrained = margs.get("pretrained")
+        self.mesh = make_mesh()
+
+    # ------------------------------------------------------------------ init
+
+    def init_state(self, rng) -> Tuple[UDATrainState, Any]:
+        dummy = jnp.zeros((1, 64, 64, 3), jnp.float32)
+        if self.use_hrda:
+            variables = self.segmentor.init(
+                rng, dummy, method=Segmentor.hrda_eval)
+        else:
+            variables = self.segmentor.init(
+                rng, dummy, method=Segmentor.logits_and_features)
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+
+        # bootstrap pretrained weights
+        if self.backbone_pretrained:
+            loaded = self._resolve_torch(self.backbone_pretrained)
+            if loaded is not None:
+                bb = load_torch_backbone(loaded)
+                params = dict(params)
+                params["backbone"] = bb["params"]
+
+        align_params = None
+        if self.align_backbone is not None:
+            ab_vars = self.align_backbone.init(
+                rng, jnp.zeros((1, 256, 256, 3), jnp.float32))
+            feats = self.align_backbone.apply(
+                ab_vars, dummy, extract_only_indices=[-3, -2])
+            feats256 = self.align_backbone.apply(
+                ab_vars, jnp.zeros((1, 256, 256, 3), jnp.float32),
+                extract_only_indices=[-2, -1])
+            ah_vars = self.align_head.init(rng, feats, feats, feats256,
+                                           feats256, (64, 64))
+            align_params = {"backbone": ab_vars["params"],
+                            "head": ah_vars["params"],
+                            "head_stats": ah_vars.get("batch_stats", {})}
+            if self.align_head_pretrained:
+                loaded = self._resolve_torch(self.align_head_pretrained)
+                if loaded is not None:
+                    hv = load_torch_alignment_head(loaded)
+                    align_params["head"] = hv["params"]
+                    align_params["head_stats"] = hv["batch_stats"]
+
+        tx, _ = make_uda_optimizer(
+            params, self.opt.lr, self.opt.weight_decay,
+            self.sched.max_steps,
+            backbone_lr_factor=self.backbone_lr_factor,
+            warmup_iters=self.sched.warmup_iters, power=self.sched.power,
+            betas=self.opt.betas)
+        self.tx = tx
+        state = init_uda_state(params, batch_stats, tx,
+                               enable_fdist=self.uda_cfg.enable_fdist)
+
+        if self.pretrained:
+            loaded = self._resolve_torch(self.pretrained)
+            if loaded is not None:
+                groups = load_torch_full_uda(loaded)
+                state = self._load_full(state, groups)
+                if "alignment_head" in groups and align_params is not None:
+                    align_params["head"] = groups["alignment_head"]["params"]
+                    align_params["head_stats"] = \
+                        groups["alignment_head"]["batch_stats"]
+                if ("alignment_backbone" in groups
+                        and align_params is not None):
+                    align_params["backbone"] = \
+                        groups["alignment_backbone"]["params"]
+        return state, align_params
+
+    @staticmethod
+    def _resolve_torch(path: str) -> Optional[str]:
+        if path in ("imagenet", "cityscapes"):
+            # keyword paths resolve through TORCH_HOME/hub like the
+            # reference (mix_transformer.py:455-462)
+            return None
+        if os.path.exists(path):
+            return path
+        hub = os.path.join(os.environ.get("TORCH_HOME", ""), "hub", path)
+        if os.path.exists(hub):
+            return hub
+        print(f"[seg_task] pretrained '{path}' not found; skipping")
+        return None
+
+    def _load_full(self, state: UDATrainState, groups) -> UDATrainState:
+        params = dict(state.params)
+        stats = dict(state.batch_stats)
+        tparams = dict(state.teacher_params)
+        tstats = dict(state.teacher_batch_stats)
+        mapping = [("backbone", "backbone", params, stats),
+                   ("head", "head", params, stats),
+                   ("scale_attention", "scale_attention", params, stats),
+                   ("m_backbone", "backbone", tparams, tstats),
+                   ("m_head", "head", tparams, tstats),
+                   ("m_scale_attention", "scale_attention", tparams,
+                    tstats)]
+        for src, dst, p, s in mapping:
+            if src in groups:
+                p[dst] = groups[src]["params"]
+                if groups[src]["batch_stats"]:
+                    s[dst] = groups[src]["batch_stats"]
+        imnet = state.imnet_params
+        if "imnet_backbone" in groups and imnet is not None:
+            imnet = groups["imnet_backbone"]["params"]
+        return state._replace(params=params, batch_stats=stats,
+                              teacher_params=tparams,
+                              teacher_batch_stats=tstats,
+                              imnet_params=imnet)
+
+    # ----------------------------------------------------------------- infer
+
+    def make_forward(self, out_size: Tuple[int, int]):
+        """Jittable eval forward at a fixed geometry
+        (reference segmentation_model.py:304-318)."""
+        seg = self.segmentor
+        use_slide = self.use_slide_inference
+        crop, stride = self.inference_crop_size, self.inference_stride
+
+        def forward(variables, x):
+            def whole(c):
+                return seg.apply(variables, c, method=Segmentor.whole)
+            if use_slide:
+                logits = slide_inference(whole, x, crop, stride)
+            else:
+                logits = whole(x)
+            return interpolate(logits, out_size, mode="bilinear",
+                               align_corners=False)
+
+        return jax.jit(forward)
+
+    # ------------------------------------------------------------------ eval
+
+    def evaluate(self, stage: str, state: Optional[UDATrainState] = None,
+                 rng=None) -> Dict[str, float]:
+        if stage not in self.datamodule.datasets:
+            self.datamodule.setup("validate" if stage == "val" else stage)
+        if state is None:
+            state, _ = self.init_state(rng or jax.random.PRNGKey(0))
+        variables = {"params": state.params,
+                     "batch_stats": state.batch_stats}
+        results: Dict[str, float] = {}
+        loaders = self.datamodule.eval_dataloaders(stage)
+        names = self.datamodule.stage_on[stage]
+        for name, loader in zip(names, loaders):
+            fwd = None
+            confmat = iou_init(self.num_classes)
+            update = jax.jit(lambda cm, lg, y: iou_update(cm, lg, y))
+            for batch in loader:
+                x = jnp.asarray(batch["image"])
+                y = jnp.asarray(batch["semantic"])
+                if fwd is None:
+                    fwd = self.make_forward(tuple(y.shape[1:3]))
+                logits = fwd(variables, x)
+                confmat = update(confmat, logits, y)
+            metric_specs = self.metrics_cfg.get(stage, {}).get(
+                name, [("IoU", {})])
+            for mname, margs_ in metric_specs:
+                if mname == "IoU":
+                    val = float(iou_compute(
+                        confmat, "macro",
+                        over_present_classes=margs_.get(
+                            "over_present_classes", False)))
+                    results[f"{stage}_{name}_IoU"] = val
+        return results
+
+    # ------------------------------------------------------------------- fit
+
+    def fit(self, workdir: str, seed: int = 0,
+            resume: Optional[str] = None) -> Dict[str, float]:
+        from ..data.loader import InfiniteLoader
+        os.makedirs(workdir, exist_ok=True)
+        self.datamodule.setup("fit")
+        train_loaders = self.datamodule.train_dataloaders()
+        iters = [iter(InfiniteLoader(l)) for l in train_loaders]
+
+        rng = jax.random.PRNGKey(seed)
+        state, align_params = self.init_state(rng)
+        if resume:
+            state = restore_checkpoint(resume, state)
+
+        # size the data mesh to the largest device count dividing every
+        # batch axis (DP over ICI; single device degenerates gracefully)
+        import math
+        probe = self.datamodule.merge_train_batch(
+            [next(it) for it in iters])
+        dims = [v.shape[0] for v in probe.values()
+                if hasattr(v, "shape") and v.ndim > 0]
+        n_dev = len(jax.devices())
+        for d in dims:
+            n_dev = math.gcd(n_dev, d)
+        self.mesh = make_mesh(jax.devices()[:max(n_dev, 1)])
+
+        state = replicate(self.mesh, state)
+        if align_params is not None:
+            align_params = replicate(self.mesh, align_params)
+
+        step_fn = jax.jit(make_uda_train_step(
+            self.segmentor, self.align_backbone, self.align_head,
+            self.tx, self.uda_cfg))
+
+        max_steps = int(self.trainer_cfg.get("max_steps", 40000))
+        val_every = int(self.trainer_cfg.get("val_every_n_steps",
+                                             max_steps))
+        log_every = int(self.trainer_cfg.get("log_every_n_steps", 50))
+        ckpt_dir = os.path.join(workdir, "checkpoints")
+        logf = open(os.path.join(workdir, "metrics.jsonl"), "a")
+
+        t0 = time.time()
+        start_step = int(state.step)
+        for step in range(start_step, max_steps):
+            sub_batches = [next(it) for it in iters]
+            batch = self.datamodule.merge_train_batch(sub_batches)
+            batch = shard_batch(self.mesh, batch)
+            rng, krun = jax.random.split(rng)
+            state, logs = step_fn(state, batch, align_params, krun)
+            if (step + 1) % log_every == 0 or step == start_step:
+                logs = {k: float(v) for k, v in logs.items()}
+                logs.update(step=step + 1,
+                            sps=(step + 1 - start_step)
+                            / max(time.time() - t0, 1e-9))
+                print(f"[fit] {json.dumps(logs)}", flush=True)
+                logf.write(json.dumps(logs) + "\n")
+                logf.flush()
+            if (step + 1) % val_every == 0 or step + 1 == max_steps:
+                metrics = self.evaluate("val", state=jax.device_get(state))
+                print(f"[val] step {step + 1}: {metrics}", flush=True)
+                logf.write(json.dumps({"step": step + 1, **metrics}) + "\n")
+                logf.flush()
+                save_checkpoint(ckpt_dir, jax.device_get(state), step + 1)
+        save_checkpoint(ckpt_dir, jax.device_get(state), max_steps)
+        logf.close()
+        return {"final_step": max_steps}
+
+    # ---------------------------------------------------------------- predict
+
+    def predict(self, workdir: str,
+                state: Optional[UDATrainState] = None) -> None:
+        """argmax -> trainId PNG + palette-colorized PNG
+        (reference segmentation_model.py:283-302)."""
+        self.datamodule.setup("predict")
+        if state is None:
+            state, _ = self.init_state(jax.random.PRNGKey(0))
+        variables = {"params": state.params,
+                     "batch_stats": state.batch_stats}
+        loaders = self.datamodule.eval_dataloaders("predict")
+        names = self.datamodule.stage_on["predict"]
+        for name, loader, ds in zip(names, loaders,
+                                    self.datamodule.datasets["predict"]):
+            save_dir = os.path.join(workdir, "preds", name)
+            col_dir = os.path.join(workdir, "color_preds", name)
+            os.makedirs(save_dir, exist_ok=True)
+            os.makedirs(col_dir, exist_ok=True)
+            out_size = tuple(ds.orig_dims)
+            fwd = self.make_forward(out_size)
+            for batch in loader:
+                x = jnp.asarray(batch["image"])
+                logits = fwd(variables, x)
+                preds = np.asarray(jnp.argmax(logits, -1)).astype(np.uint8)
+                for pred, fn in zip(preds, batch["filename"]):
+                    from PIL import Image
+                    Image.fromarray(pred).save(os.path.join(save_dir, fn))
+                    colorize_mask(pred).save(os.path.join(col_dir, fn))
