@@ -27,6 +27,7 @@ import numpy as np
 from flax import linen as nn
 
 from ..nn.layers import DropPath, TorchLayerNorm, conv2d, gelu
+from ..ops.attention import sra_attention
 
 ARCH_SETTINGS = {
     # embed_dims, num_heads, mlp_ratios, depths, sr_ratios
@@ -88,11 +89,9 @@ class SRAttention(nn.Module):
         k = kv[:, :, 0]
         v = kv[:, :, 1]
 
-        # (B, nh, N, M) logits in fp32 for numerical stability under bf16
-        attn = jnp.einsum("bnhd,bmhd->bhnm", q, k,
-                          preferred_element_type=jnp.float32) * scale
-        attn = jax.nn.softmax(attn, axis=-1)
-        out = jnp.einsum("bhnm,bmhd->bnhd", attn.astype(v.dtype), v)
+        # fused flash-style kernel on TPU (fp32 logits/softmax in VMEM),
+        # einsum fallback elsewhere — numerics identical
+        out = sra_attention(q, k, v, scale)
         out = out.reshape(B, H, W, C)
         out = nn.Dense(C, param_dtype=jnp.float32, name="proj")(out)
         return out

@@ -1,0 +1,45 @@
+"""Fused Pallas SRA attention vs the einsum reference path."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from refign_tpu.ops.attention import (fused_small_kv_attention,
+                                      sra_attention)
+
+
+@pytest.mark.parametrize("N,M,D,H", [(300, 17, 64, 1), (1024, 289, 64, 2)])
+def test_pallas_attention_matches_einsum(N, M, D, H):
+    rng = np.random.RandomState(0)
+    B = 2
+    q = rng.randn(B, N, H, D).astype(np.float32)
+    k = rng.randn(B, M, H, D).astype(np.float32)
+    v = rng.randn(B, M, H, D).astype(np.float32)
+    scale = D ** -0.5
+    want = np.asarray(sra_attention(jnp.asarray(q), jnp.asarray(k),
+                                    jnp.asarray(v), scale,
+                                    use_pallas=False))
+    # interpret-mode pallas on CPU
+    qf = (jnp.asarray(q) * scale).transpose(0, 2, 1, 3).reshape(B * H, N, D)
+    kf = jnp.asarray(k).transpose(0, 2, 1, 3).reshape(B * H, M, D)
+    vf = jnp.asarray(v).transpose(0, 2, 1, 3).reshape(B * H, M, D)
+    got = fused_small_kv_attention(qf, kf, vf, interpret=True)
+    got = np.asarray(got.reshape(B, H, N, D).transpose(0, 2, 1, 3))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_attention_bf16():
+    rng = np.random.RandomState(1)
+    B, N, M, D = 1, 140, 49, 64
+    q = jnp.asarray(rng.randn(B, N, D), jnp.bfloat16)
+    k = jnp.asarray(rng.randn(B, M, D), jnp.bfloat16)
+    v = jnp.asarray(rng.randn(B, M, D), jnp.bfloat16)
+    got = fused_small_kv_attention(q, k, v, interpret=True)
+    logits = jnp.einsum("bnd,bmd->bnm", q, k,
+                        preferred_element_type=jnp.float32)
+    want = jnp.einsum("bnm,bmd->bnd",
+                      jax.nn.softmax(logits, -1).astype(jnp.bfloat16), v)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               rtol=2e-2, atol=2e-2)
