@@ -41,6 +41,8 @@ class AlignConfig:
     random_t_tps: float = 0.333
     random_t_tps_for_afftps: float = 0.08
     add_elastic: bool = False
+    # bf16 compute at the apply boundary (reference AMP), fp32 master params
+    compute_dtype: str = "bfloat16"
 
 
 class AlignTrainState(NamedTuple):
@@ -123,6 +125,12 @@ def make_align_train_step(backbone, head, tx, cfg: AlignConfig):
     synthetic flow are generated inside the step.
     """
 
+    cdt = jnp.dtype(cfg.compute_dtype)
+
+    def _cast(tree):
+        from ..parallel.mesh import cast_floating
+        return cast_floating(tree, cdt) if cdt != jnp.float32 else tree
+
     def train_step(state: AlignTrainState, batch: Dict[str, jax.Array],
                    rng: jax.Array):
         k_prime, k_drop = jax.random.split(rng)
@@ -135,8 +143,9 @@ def make_align_train_step(backbone, head, tx, cfg: AlignConfig):
         idx = prime["prime_trg_idx"]
 
         (pyrs, pyrs256) = jax.lax.stop_gradient(extract_pyramids(
-            backbone, state.backbone_params, images_ref, images_trg,
-            prime["image_prime"]))
+            backbone, _cast(state.backbone_params),
+            images_ref.astype(cdt), images_trg.astype(cdt),
+            prime["image_prime"].astype(cdt)))
         (pyr_ref, pyr_trg, pyr_prime) = pyrs
         (pyr_ref_256, pyr_trg_256, pyr_prime_256) = pyrs256
         # i = the image the prime was derived from; j = the other
@@ -146,13 +155,14 @@ def make_align_train_step(backbone, head, tx, cfg: AlignConfig):
         pyr_j_256 = _select(1 - idx, pyr_ref_256, pyr_trg_256)
 
         def loss_fn(params):
-            variables = {"params": params, "batch_stats": state.batch_stats}
+            variables = {"params": _cast(params),
+                         "batch_stats": state.batch_stats}
 
             def head_pass(vs, src_pyr, trg_pyr, src256, trg256):
                 out, mut = head.apply(
                     vs, src_pyr, trg_pyr, src256, trg256, (H, W),
                     train=True, mutable=["batch_stats"])
-                return out, {"params": params,
+                return out, {"params": vs["params"],
                              "batch_stats": mut["batch_stats"]}
 
             prime_i, variables = head_pass(

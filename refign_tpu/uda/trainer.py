@@ -60,6 +60,10 @@ class UDAConfig:
     color_jitter_s: float = 0.2
     color_jitter_p: float = 0.2
     blur: bool = True
+    # 'bfloat16' matches the reference's AMP training (--trainer.precision 16,
+    # README.md:262): params/images cast to bf16 at the apply boundary, fp32
+    # master params and fp32 loss/softmax/warp islands preserved.
+    compute_dtype: str = "bfloat16"
 
 
 class UDATrainState(NamedTuple):
@@ -115,11 +119,17 @@ def make_uda_train_step(segmentor: Segmentor,
     ``semantic_src`` (B,H,W), ``image_trg``, optionally ``image_ref``.
     """
     os_ = cfg.hrda_output_stride
+    cdt = jnp.dtype(cfg.compute_dtype)
+
+    def _cast(tree):
+        from ..parallel.mesh import cast_floating
+        return cast_floating(tree, cdt) if cdt != jnp.float32 else tree
 
     def student_src_forward(params, batch_stats, images, rng, train=True):
         """Returns (logits_at_input_res, aux) where aux carries hr branch +
         lr feats + new batch stats."""
-        variables = {"params": params, "batch_stats": batch_stats}
+        variables = {"params": _cast(params), "batch_stats": batch_stats}
+        images = images.astype(cdt)
         H, W = images.shape[1:3]
         if cfg.use_hrda:
             offset = _hrda_crop_offset(rng, H, W, 2 * os_)
@@ -142,7 +152,8 @@ def make_uda_train_step(segmentor: Segmentor,
     def teacher_forward(tparams, tstats, images):
         """EMA teacher logits at input resolution; BN in batch-stats mode
         with stat updates discarded (reference :691-701)."""
-        variables = {"params": tparams, "batch_stats": tstats}
+        variables = {"params": _cast(tparams), "batch_stats": tstats}
+        images = images.astype(cdt)
         out, _ = segmentor.apply(
             variables, images, train=True, mutable=["batch_stats"],
             method=Segmentor.whole)
@@ -150,6 +161,11 @@ def make_uda_train_step(segmentor: Segmentor,
 
     def align_fn(align_params, logits_ref, images_ref, images_trg):
         """Warp reference logits onto the target view (reference :493-523)."""
+        align_params = {"backbone": _cast(align_params["backbone"]),
+                        "head": _cast(align_params["head"]),
+                        "head_stats": align_params["head_stats"]}
+        images_ref = images_ref.astype(cdt)
+        images_trg = images_trg.astype(cdt)
         B, H, W, _ = images_trg.shape
         trg256 = interpolate(images_trg, (256, 256), mode="area")
         ref256 = interpolate(images_ref, (256, 256), mode="area")
