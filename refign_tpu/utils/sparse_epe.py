@@ -81,8 +81,8 @@ class SparseEPE:
         sparse_c = curve(neg_u)
         opt_c = curve(neg_e)
         mmax = opt_c.max() + 1e-6
-        return float(abs(np.trapz(sparse_c / mmax, plotx)
-                         - np.trapz(opt_c / mmax, plotx)))
+        return float(abs(np.trapezoid(sparse_c / mmax, plotx)
+                         - np.trapezoid(opt_c / mmax, plotx)))
 
     def compute(self) -> Dict[str, float]:
         ns = max(self.nbr_samples, 1)
