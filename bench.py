@@ -60,8 +60,18 @@ def main():
 
     img = jnp.asarray(np.random.randn(1, 1080, 1920, 3), jnp.bfloat16)
 
-    # warmup / compile
-    forward(img).block_until_ready()
+    # warmup / compile — the axon remote-compile service fails transiently
+    # (HTTP 500 / env-init races); retry a few times before giving up
+    for attempt in range(4):
+        try:
+            forward(img).block_until_ready()
+            break
+        except Exception as e:  # jax.errors.JaxRuntimeError and friends
+            if attempt == 3:
+                raise
+            print(f"# compile attempt {attempt + 1} failed "
+                  f"({type(e).__name__}); retrying", flush=True)
+            time.sleep(10)
 
     n_iter = 10
     t0 = time.perf_counter()

@@ -45,7 +45,7 @@ def build_backbone(spec: Dict[str, Any]):
     if name == "MixVisionTransformer":
         known = {k: v for k, v in args.items()
                  if k in ("model_type", "drop_path_rate", "qk_scale",
-                          "in_chans")}
+                          "in_chans", "remat")}
         return MixVisionTransformer(**known), pretrained
     if name == "ResNet":
         known = {k: v for k, v in args.items()

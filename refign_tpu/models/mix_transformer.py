@@ -156,11 +156,18 @@ class OverlapPatchEmbed(nn.Module):
 
 class MixVisionTransformer(nn.Module):
     """4-stage MiT backbone; returns a list of 4 NHWC feature maps at
-    1/4, 1/8, 1/16, 1/32 resolution."""
+    1/4, 1/8, 1/16, 1/32 resolution.
+
+    ``remat=True`` rematerializes each transformer block on the backward
+    pass (jax.checkpoint) — the TPU analog of the reference's activation
+    checkpointing option (models/modules.py:118,139-142), trading FLOPs for
+    HBM at large crop sizes.
+    """
     model_type: str = "mit_b5"
     drop_path_rate: float = 0.1
     qk_scale: Optional[float] = None
     in_chans: int = 3
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array,
@@ -169,6 +176,8 @@ class MixVisionTransformer(nn.Module):
         depths = cfg["depths"]
         dpr = np.linspace(0, self.drop_path_rate, sum(depths)).tolist()
         patch_cfg = [(7, 4), (3, 2), (3, 2), (3, 2)]
+        block_cls = (nn.remat(Block, static_argnums=(2,)) if self.remat
+                     else Block)
         outs = []
         cur = 0
         for s in range(4):
@@ -176,14 +185,14 @@ class MixVisionTransformer(nn.Module):
                                   cfg["embed_dims"][s],
                                   name=f"patch_embed{s + 1}")(x)
             for i in range(depths[s]):
-                x = Block(dim=cfg["embed_dims"][s],
-                          num_heads=cfg["num_heads"][s],
-                          mlp_ratio=cfg["mlp_ratios"][s],
-                          sr_ratio=cfg["sr_ratios"][s],
-                          drop_path=dpr[cur + i],
-                          qk_scale=self.qk_scale,
-                          name=f"block{s + 1}_{i}")(
-                              x, deterministic=deterministic)
+                x = block_cls(dim=cfg["embed_dims"][s],
+                              num_heads=cfg["num_heads"][s],
+                              mlp_ratio=cfg["mlp_ratios"][s],
+                              sr_ratio=cfg["sr_ratios"][s],
+                              drop_path=dpr[cur + i],
+                              qk_scale=self.qk_scale,
+                              name=f"block{s + 1}_{i}")(
+                                  x, deterministic)
             x = TorchLayerNorm(epsilon=1e-6, name=f"norm{s + 1}")(x)
             outs.append(x)
             cur += depths[s]
