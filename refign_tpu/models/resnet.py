@@ -118,12 +118,17 @@ class ResNet(nn.Module):
     norm_eval: bool = False
     max_pool_ceil_mode: bool = False
     bn_axis_name: Optional[str] = None
+    # jax.checkpoint per residual block — the reference's with_cp
+    # (models/modules.py:118,139-142,237-240)
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False,
                  deterministic: bool = True) -> List[jax.Array]:
         cfg = ARCH_SETTINGS[self.model_type]
         block_cls = BasicBlock if cfg["block"] == "basic" else Bottleneck
+        if self.remat:
+            block_cls = nn.remat(block_cls, static_argnums=(2, 3))
         expansion = 1 if cfg["block"] == "basic" else 4
         # norm_eval freezes BN statistics even in train mode
         # (reference resnet.py:378-385)
@@ -155,12 +160,12 @@ class ResNet(nn.Module):
                     x = block_cls(out_ch, stride, first_dil, has_ds,
                                   self.bn_axis_name,
                                   name=f"layer{si + 1}_{bi}")(
-                        x, train=train, norm_train=bn_train)
+                        x, train, bn_train)
                 else:
                     x = block_cls(out_ch, 1, dilation, False,
                                   self.bn_axis_name,
                                   name=f"layer{si + 1}_{bi}")(
-                        x, train=train, norm_train=bn_train)
+                        x, train, bn_train)
             in_ch = out_ch * expansion
             if si in self.out_indices:
                 outs.append(x)

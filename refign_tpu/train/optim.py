@@ -67,7 +67,7 @@ def param_group_label(path: Sequence[str], value: Any) -> str:
 def make_uda_optimizer(params, base_lr: float, weight_decay: float,
                        max_steps: int, backbone_lr_factor: float = 0.1,
                        warmup_iters: int = 1500, power: float = 0.9,
-                       betas=(0.9, 0.999)):
+                       betas=(0.9, 0.999), accumulate_steps: int = 1):
     """AdamW with the reference's 4 param groups and warmup-poly schedule."""
     sched = warmup_poly_schedule(base_lr, max_steps,
                                  warmup_iters=warmup_iters, power=power)
@@ -88,6 +88,10 @@ def make_uda_optimizer(params, base_lr: float, weight_decay: float,
          "backbone_weight": group_tx(backbone_lr_factor, weight_decay),
          "backbone_bias": group_tx(backbone_lr_factor, 0.0)},
         labels)
+    if accumulate_steps > 1:
+        # gradient accumulation (reference mentions it via callbacks.py:13-15
+        # but never configures it; we expose it properly)
+        tx = optax.MultiSteps(tx, every_k_schedule=accumulate_steps)
     return tx, sched
 
 
