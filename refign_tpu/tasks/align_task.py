@@ -76,11 +76,12 @@ class AlignTask:
             loaded = load_torch_alignment_head(self.head_pretrained)
             hvars = {"params": loaded["params"],
                      "batch_stats": loaded["batch_stats"]}
-        tx, _ = make_adam_optimizer(self.opt.lr,
+        tx, sched_fn = make_adam_optimizer(self.opt.lr,
                                     self.sched.milestones or [10 ** 9],
                                     gamma=self.sched.gamma,
                                     weight_decay=self.opt.weight_decay)
         self.tx = tx
+        self.sched_fn = sched_fn
         return init_align_state(hvars, bvars["params"], tx)
 
     # ------------------------------------------------------------------- fit
@@ -123,6 +124,7 @@ class AlignTask:
             if (step + 1) % log_every == 0 or step == start_step:
                 logs = {k: float(v) for k, v in logs.items()}
                 logs.update(step=step + 1,
+                            lr=float(self.sched_fn(step)),
                             sps=(step + 1 - start_step)
                             / max(time.time() - t0, 1e-9))
                 print(f"[fit] {json.dumps(logs)}", flush=True)

@@ -142,13 +142,14 @@ class SegTask:
                     align_params["head"] = hv["params"]
                     align_params["head_stats"] = hv["batch_stats"]
 
-        tx, _ = make_uda_optimizer(
+        tx, sched_fn = make_uda_optimizer(
             params, self.opt.lr, self.opt.weight_decay,
             self.sched.max_steps,
             backbone_lr_factor=self.backbone_lr_factor,
             warmup_iters=self.sched.warmup_iters, power=self.sched.power,
             betas=self.opt.betas)
         self.tx = tx
+        self.sched_fn = sched_fn
         state = init_uda_state(params, batch_stats, tx,
                                enable_fdist=self.uda_cfg.enable_fdist)
 
@@ -315,6 +316,7 @@ class SegTask:
             if (step + 1) % log_every == 0 or step == start_step:
                 logs = {k: float(v) for k, v in logs.items()}
                 logs.update(step=step + 1,
+                            lr=float(self.sched_fn(step)),
                             sps=(step + 1 - start_step)
                             / max(time.time() - t0, 1e-9))
                 print(f"[fit] {json.dumps(logs)}", flush=True)
