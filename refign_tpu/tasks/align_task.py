@@ -61,6 +61,15 @@ class AlignTask:
         self.mesh = make_mesh()
 
     def init_state(self, rng, image_hw=(256, 256)):
+        # initialize on the host CPU backend (see SegTask.init_state)
+        try:
+            cpu = jax.local_devices(backend="cpu")[0]
+        except RuntimeError:
+            cpu = jax.devices()[0]
+        with jax.default_device(cpu):
+            return self._init_state_impl(rng, image_hw)
+
+    def _init_state_impl(self, rng, image_hw=(256, 256)):
         H, W = image_hw
         bvars = self.backbone.init(
             rng, jnp.zeros((1, 256, 256, 3), jnp.float32))

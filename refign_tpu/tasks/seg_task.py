@@ -103,6 +103,17 @@ class SegTask:
     # ------------------------------------------------------------------ init
 
     def init_state(self, rng) -> Tuple[UDATrainState, Any]:
+        # initialize on the host CPU backend: parameter init needs no TPU
+        # and avoids dozens of slow remote compiles; replicate() moves the
+        # weights to the mesh afterwards
+        try:
+            cpu = jax.local_devices(backend="cpu")[0]
+        except RuntimeError:
+            cpu = jax.devices()[0]
+        with jax.default_device(cpu):
+            return self._init_state_impl(rng)
+
+    def _init_state_impl(self, rng) -> Tuple[UDATrainState, Any]:
         dummy = jnp.zeros((1, 64, 64, 3), jnp.float32)
         if self.use_hrda:
             variables = self.segmentor.init(
