@@ -59,6 +59,7 @@ class AlignTask:
         self.pretrained = margs.get("pretrained")
         self.metrics_cfg = parse_metrics(margs.get("metrics", {}))
         self.mesh = make_mesh()
+        self._fwd_cache = {}
 
     def init_state(self, rng, image_hw=(256, 256)):
         # initialize on the host CPU backend (see SegTask.init_state)
@@ -160,16 +161,14 @@ class AlignTask:
                      "batch_stats": state.batch_stats}
         bb_params = state.backbone_params
 
-        fwd_cache = {}
-
         def fwd(images_trg, images_ref):
             key = images_trg.shape
-            if key not in fwd_cache:
-                fwd_cache[key] = jax.jit(
-                    lambda t, r: align_forward(
-                        self.backbone, self.head, bb_params, head_vars,
-                        t, r))
-            return fwd_cache[key](images_trg, images_ref)
+            if key not in self._fwd_cache:
+                self._fwd_cache[key] = jax.jit(
+                    lambda t, r, bb, hv: align_forward(
+                        self.backbone, self.head, bb, hv, t, r))
+            return self._fwd_cache[key](images_trg, images_ref,
+                                        bb_params, head_vars)
 
         results = {}
         loaders = self.datamodule.eval_dataloaders(stage)

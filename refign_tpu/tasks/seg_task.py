@@ -99,6 +99,7 @@ class SegTask:
         self.metrics_cfg = parse_metrics(margs.get("metrics", {}))
         self.pretrained = margs.get("pretrained")
         self.mesh = make_mesh()
+        self._fwd_cache = {}
 
     # ------------------------------------------------------------------ init
 
@@ -222,7 +223,10 @@ class SegTask:
 
     def make_forward(self, out_size: Tuple[int, int]):
         """Jittable eval forward at a fixed geometry
-        (reference segmentation_model.py:304-318)."""
+        (reference segmentation_model.py:304-318).  Cached per geometry so
+        repeated validation passes reuse the compiled executable."""
+        if out_size in self._fwd_cache:
+            return self._fwd_cache[out_size]
         seg = self.segmentor
         use_slide = self.use_slide_inference
         crop, stride = self.inference_crop_size, self.inference_stride
@@ -237,7 +241,8 @@ class SegTask:
             return interpolate(logits, out_size, mode="bilinear",
                                align_corners=False)
 
-        return jax.jit(forward)
+        self._fwd_cache[out_size] = jax.jit(forward)
+        return self._fwd_cache[out_size]
 
     # ------------------------------------------------------------------ eval
 
