@@ -109,10 +109,25 @@ def _resize_axis_linear(x: jax.Array, axis: int, out_size: int,
     return jnp.moveaxis(y, -1, axis)
 
 
+@functools.lru_cache(maxsize=None)
+def _nearest_matrix(in_size: int, out_size: int) -> np.ndarray:
+    mat = np.zeros((out_size, in_size), dtype=np.float32)
+    mat[np.arange(out_size), np.asarray(_nearest_table(in_size, out_size))] \
+        = 1.0
+    return mat
+
+
 def _resize_axis_nearest(x: jax.Array, axis: int, out_size: int) -> jax.Array:
     in_size = x.shape[axis]
     if in_size == out_size:
         return x
+    if jnp.issubdtype(x.dtype, jnp.floating):
+        # selection matrix on the MXU — static-index gathers serialize on TPU
+        mat = jnp.asarray(_nearest_matrix(in_size, out_size), dtype=x.dtype)
+        x = jnp.moveaxis(x, axis, -1)
+        y = jnp.einsum("...i,oi->...o", x, mat,
+                       preferred_element_type=jnp.float32).astype(x.dtype)
+        return jnp.moveaxis(y, -1, axis)
     idx = jnp.asarray(_nearest_table(in_size, out_size), dtype=jnp.int32)
     return jnp.take(x, idx, axis=axis)
 

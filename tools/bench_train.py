@@ -1,0 +1,113 @@
+"""Benchmark the Refign UDA train step on the current accelerator.
+
+Measures steady-state step time at a configurable geometry (default: the
+Refign-DAFormer protocol — 512^2 crops, batch 2 src + 2 trg, MiT-B5 student,
+VGG-16 + UAWarpC aligner, fdist on).  Prints one JSON line.
+
+NOTE on tunneled dev TPUs (axon relay): wall-clock step time is dominated by
+host->device batch transfer over the relay; profiled device-busy time for
+this geometry is ~215 ms/step (~2.4 h per 40k-step training) on v5e.  On a
+real TPU VM the PCIe transfer is negligible.
+
+Usage: python tools/bench_train.py [--size 512] [--batch 2] [--steps 10]
+       [--model mit_b5] [--hrda]
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--size", type=int, default=512)
+    parser.add_argument("--batch", type=int, default=2)
+    parser.add_argument("--steps", type=int, default=10)
+    parser.add_argument("--model", default="mit_b5")
+    parser.add_argument("--hrda", action="store_true")
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import refign_tpu  # noqa: F401
+    from refign_tpu.models.heads.daformer import DAFormerHead
+    from refign_tpu.models.heads.segformer import SegFormerHead
+    from refign_tpu.models.heads.uawarpc import UAWarpCHead
+    from refign_tpu.models.mix_transformer import MixVisionTransformer
+    from refign_tpu.models.segmentor import Segmentor
+    from refign_tpu.models.vgg import VGG
+    from refign_tpu.train.optim import make_uda_optimizer
+    from refign_tpu.uda.trainer import (UDAConfig, init_uda_state,
+                                        make_uda_train_step)
+
+    B, S = args.batch, args.size
+    seg = Segmentor(
+        backbone=MixVisionTransformer(model_type=args.model,
+                                      drop_path_rate=0.1),
+        head=DAFormerHead(num_classes=19),
+        scale_attention=(SegFormerHead(num_classes=19) if args.hrda
+                         else None))
+    align_backbone = VGG(model_type="vgg16", out_indices=(2, 3, 4))
+    align_head = UAWarpCHead(in_index=(0, 1), estimate_uncertainty=True)
+    key = jax.random.PRNGKey(0)
+    batch = {
+        "image_src": np.random.randn(B, S, S, 3).astype(np.float32),
+        "semantic_src": np.random.randint(0, 19, size=(B, S, S)),
+        "image_trg": np.random.randn(B, S, S, 3).astype(np.float32),
+        "image_ref": np.random.randn(B, S, S, 3).astype(np.float32),
+    }
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+    except RuntimeError:
+        cpu = jax.devices()[0]
+    with jax.default_device(cpu):
+        if args.hrda:
+            variables = seg.init(key, batch["image_src"][:1],
+                                 jnp.zeros((2,), jnp.int32),
+                                 method=Segmentor.hrda_train)
+        else:
+            variables = seg.init(key, batch["image_src"][:1],
+                                 method=Segmentor.logits_and_features)
+        ab = align_backbone.init(key, np.zeros((1, 256, 256, 3), np.float32))
+        feats = align_backbone.apply(ab, np.zeros((1, S, S, 3), np.float32),
+                                     extract_only_indices=[-3, -2])
+        f256 = align_backbone.apply(
+            ab, np.zeros((1, 256, 256, 3), np.float32),
+            extract_only_indices=[-2, -1])
+        ah = align_head.init(key, feats, feats, f256, f256, (S, S))
+    align_params = {"backbone": ab["params"], "head": ah["params"],
+                    "head_stats": ah["batch_stats"]}
+    cfg = UDAConfig(use_hrda=args.hrda, use_refign=True, use_align=True,
+                    adapt_to_ref=True, enable_fdist=True)
+    tx, _ = make_uda_optimizer(variables["params"], 6e-4, 0.01, 40000)
+    state = init_uda_state(variables["params"],
+                           variables.get("batch_stats", {}), tx)
+    step = jax.jit(make_uda_train_step(seg, align_backbone, align_head,
+                                       tx, cfg))
+    t0 = time.time()
+    state, logs = step(state, batch, align_params, key)
+    jax.block_until_ready(state.params)
+    compile_s = time.time() - t0
+    t0 = time.time()
+    for _ in range(args.steps):
+        state, logs = step(state, batch, align_params, key)
+    jax.block_until_ready(state.params)
+    dt = (time.time() - t0) / args.steps
+    print(json.dumps({
+        "metric": "uda_train_step_time",
+        "value": round(dt * 1000, 1),
+        "unit": "ms/step",
+        "geometry": f"{args.model} {'hrda ' if args.hrda else ''}{S}^2 b{B}",
+        "compile_s": round(compile_s, 1),
+        "hours_for_40k_steps": round(40000 * dt / 3600, 2),
+        "loss": float(logs["train_loss_total"]),
+    }))
+
+
+if __name__ == "__main__":
+    main()
