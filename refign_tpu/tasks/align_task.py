@@ -122,6 +122,8 @@ class AlignTask:
         log_every = int(self.trainer_cfg.get("log_every_n_steps", 50))
         ckpt_dir = os.path.join(workdir, "checkpoints")
         logf = open(os.path.join(workdir, "metrics.jsonl"), "a")
+        from ..utils.tb_logger import TensorBoardLogger
+        tb = TensorBoardLogger(os.path.join(workdir, "tb"))
         t0 = time.time()
         start_step = int(state.step)
         for step in range(start_step, max_steps):
@@ -140,14 +142,17 @@ class AlignTask:
                 print(f"[fit] {json.dumps(logs)}", flush=True)
                 logf.write(json.dumps(logs) + "\n")
                 logf.flush()
+                tb.log_scalars(logs, step + 1)
             if (step + 1) % val_every == 0 or step + 1 == max_steps:
                 metrics = self.evaluate("val", state=jax.device_get(state))
                 print(f"[val] step {step + 1}: {metrics}", flush=True)
                 logf.write(json.dumps({"step": step + 1, **metrics}) + "\n")
                 logf.flush()
+                tb.log_scalars(metrics, step + 1)
                 save_checkpoint(ckpt_dir, jax.device_get(state), step + 1)
         save_checkpoint(ckpt_dir, jax.device_get(state), max_steps)
         logf.close()
+        tb.close()
         return {"final_step": max_steps}
 
     # ------------------------------------------------------------------ eval
