@@ -105,12 +105,15 @@ class MixFFN(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
-        x = nn.Dense(self.hidden_dim, param_dtype=jnp.float32, name="fc1")(x)
-        x = conv2d(self.hidden_dim, kernel_size=3, stride=1, padding=1,
-                   groups=self.hidden_dim, name="dwconv")(x)
-        x = gelu(x)
-        x = nn.Dense(self.out_dim, param_dtype=jnp.float32, name="fc2")(x)
-        return x
+        # fc1/fc2 as 1x1 convs keeps the whole FFN in conv layout (fewer
+        # relayout copies between token-view Dense and the depthwise conv)
+        h = conv2d(self.hidden_dim, kernel_size=1, padding=0,
+                   name="fc1")(x)
+        h = conv2d(self.hidden_dim, kernel_size=3, stride=1, padding=1,
+                   groups=self.hidden_dim, name="dwconv")(h)
+        h = gelu(h)
+        return conv2d(self.out_dim, kernel_size=1, padding=0,
+                      name="fc2")(h)
 
 
 class Block(nn.Module):

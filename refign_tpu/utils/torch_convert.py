@@ -46,6 +46,12 @@ def _fuse_numeric(parts):
     return out
 
 
+# Dense->1x1-conv layers: modules that are nn.Linear in the reference but
+# 1x1 convs here (conv layout avoids relayout copies on TPU).  Their 2-D
+# (out, in) weights reshape to (1, 1, in, out) kernels.
+DENSE_AS_CONV1X1_SUFFIXES = (".mlp.fc1", ".mlp.fc2")
+
+
 def convert_state_dict(state_dict: Mapping[str, Any],
                        strip_prefix: Optional[str] = None,
                        drop_prefixes: Tuple[str, ...] = (),
@@ -88,7 +94,11 @@ def convert_state_dict(state_dict: Mapping[str, Any],
                 _set_nested(params, path + ("kernel",),
                             arr.transpose(2, 3, 1, 0))
             elif arr.ndim == 2:
-                _set_nested(params, path + ("kernel",), arr.transpose(1, 0))
+                kern = arr.transpose(1, 0)
+                if any(key.endswith(suf + ".weight")
+                       for suf in DENSE_AS_CONV1X1_SUFFIXES):
+                    kern = kern[None, None]  # (1, 1, in, out) conv kernel
+                _set_nested(params, path + ("kernel",), kern)
             elif arr.ndim == 1:
                 _set_nested(params, path + ("scale",), arr)
             else:
