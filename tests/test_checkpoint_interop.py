@@ -1,0 +1,85 @@
+"""Checkpoint interop: torch full-UDA checkpoint grouping, backbone prefix
+stripping, and orbax save/restore round-trip."""
+import os
+
+import numpy as np
+import pytest
+import torch
+
+import ref_oracle
+from refign_tpu.utils.checkpoint import (load_torch_backbone,
+                                         load_torch_full_uda,
+                                         restore_checkpoint,
+                                         save_checkpoint)
+
+
+def test_full_uda_checkpoint_grouping(tmp_path):
+    """A reference-style UDA checkpoint (student+teacher+imnet+aligner in one
+    state_dict, segmentation_model.py:66-88) splits into per-module trees."""
+    mt = ref_oracle.load_ref_module("models.backbones.mix_transformer")
+    torch.manual_seed(0)
+    bb = mt.MixVisionTransformer("mit_b0", drop_path_rate=0.0)
+    sd = {}
+    for prefix in ("backbone.", "m_backbone.", "imnet_backbone."):
+        for k, v in bb.state_dict().items():
+            sd[prefix + k] = v
+    sd["head.conv_seg.weight"] = torch.zeros(19, 32, 1, 1)
+    sd["head.conv_seg.bias"] = torch.zeros(19)
+    sd["alignment_head.reduce.weight"] = torch.zeros(2, 32, 1, 1)
+    sd["alignment_head.reduce.bias"] = torch.zeros(2)
+    path = str(tmp_path / "uda.ckpt")
+    torch.save({"state_dict": sd}, path)
+
+    groups = load_torch_full_uda(path)
+    assert set(groups) == {"backbone", "m_backbone", "imnet_backbone",
+                           "head", "alignment_head"}
+    assert groups["head"]["params"]["conv_seg"]["kernel"].shape == \
+        (1, 1, 32, 19)
+    assert "patch_embed1" in groups["backbone"]["params"]
+    assert "patch_embed1" in groups["m_backbone"]["params"]
+
+
+def test_backbone_prefix_stripping(tmp_path):
+    mt = ref_oracle.load_ref_module("models.backbones.mix_transformer")
+    torch.manual_seed(1)
+    bb = mt.MixVisionTransformer("mit_b0", drop_path_rate=0.0)
+    sd = {"backbone." + k: v for k, v in bb.state_dict().items()}
+    sd["head.something.weight"] = torch.zeros(4, 4)
+    path = str(tmp_path / "seg.pth")
+    torch.save(sd, path)
+    out = load_torch_backbone(path)
+    assert "patch_embed1" in out["params"]
+    assert "head" not in out["params"]
+
+    # the converted tree loads into the flax model and reproduces outputs
+    from refign_tpu.models.mix_transformer import MixVisionTransformer
+    rng = np.random.RandomState(0)
+    x = rng.randn(1, 32, 32, 3).astype(np.float32)
+    mine = MixVisionTransformer(model_type="mit_b0", drop_path_rate=0.0)
+    outs = mine.apply({"params": out["params"]}, x)
+    bb.eval()
+    with torch.no_grad():
+        want = bb(torch.from_numpy(np.transpose(x, (0, 3, 1, 2))))
+    np.testing.assert_allclose(
+        np.transpose(np.asarray(outs[0]), (0, 3, 1, 2)), want[0].numpy(),
+        rtol=1e-4, atol=1e-4)
+
+
+def test_orbax_roundtrip(tmp_path):
+    state = {
+        "step": np.asarray(7, np.int32),
+        "params": {"w": np.arange(12, dtype=np.float32).reshape(3, 4)},
+    }
+    ckpt_dir = str(tmp_path / "ckpts")
+    save_checkpoint(ckpt_dir, state, step=7)
+    save_checkpoint(ckpt_dir, state, step=8)
+    assert os.path.exists(os.path.join(ckpt_dir, "last"))
+    restored = restore_checkpoint(os.path.join(ckpt_dir, "last"), state)
+    np.testing.assert_array_equal(restored["params"]["w"],
+                                  state["params"]["w"])
+    assert int(restored["step"]) == 7 or int(restored["step"]) == 8
+    # prune keeps at most 3
+    for s in (9, 10, 11):
+        save_checkpoint(ckpt_dir, state, step=s)
+    steps = [d for d in os.listdir(ckpt_dir) if d.startswith("step_")]
+    assert len(steps) <= 3

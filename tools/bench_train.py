@@ -30,6 +30,8 @@ def main():
     parser.add_argument("--steps", type=int, default=10)
     parser.add_argument("--model", default="mit_b5")
     parser.add_argument("--hrda", action="store_true")
+    parser.add_argument("--remat", action="store_true",
+                        help="rematerialize MiT blocks (activation ckpt)")
     args = parser.parse_args()
 
     import jax
@@ -48,7 +50,8 @@ def main():
     B, S = args.batch, args.size
     seg = Segmentor(
         backbone=MixVisionTransformer(model_type=args.model,
-                                      drop_path_rate=0.1),
+                                      drop_path_rate=0.1,
+                                      remat=args.remat),
         head=DAFormerHead(num_classes=19),
         scale_attention=(SegFormerHead(num_classes=19) if args.hrda
                          else None))
@@ -102,7 +105,7 @@ def main():
         "metric": "uda_train_step_time",
         "value": round(dt * 1000, 1),
         "unit": "ms/step",
-        "geometry": f"{args.model} {'hrda ' if args.hrda else ''}{S}^2 b{B}",
+        "geometry": f"{args.model} {'hrda ' if args.hrda else ''}{'remat ' if args.remat else ''}{S}^2 b{B}",
         "compile_s": round(compile_s, 1),
         "hours_for_40k_steps": round(40000 * dt / 3600, 2),
         "loss": float(logs["train_loss_total"]),
