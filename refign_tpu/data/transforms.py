@@ -14,7 +14,6 @@ after it, numpy arrays in HWC uint8 (images) / HW uint8 (semantic).
 """
 from __future__ import annotations
 
-import math
 import random as pyrandom
 from typing import Dict, List, Optional, Sequence, Tuple, Union
 
@@ -301,7 +300,6 @@ def _np_jitter(img: np.ndarray, brightness, contrast, saturation, hue,
             g = gray(img)
             img = np.clip(img * saturation + g * (1 - saturation), 0, 1)
         elif op == 3 and hue is not None:
-            import colorsys  # noqa: F401 — vectorized below
             hsv = _rgb_to_hsv_np(img)
             hsv[..., 0] = (hsv[..., 0] + hue) % 1.0
             img = _hsv_to_rgb_np(hsv)

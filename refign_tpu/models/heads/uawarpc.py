@@ -36,7 +36,6 @@ from ...ops.resize import interpolate
 from ...ops.warp import unnormalize_mapping_to_flow, warp
 from ..matching_modules import (OpticalFlowEstimator, RefinementModule,
                                 UncertaintyModule)
-from ..matching_modules import max_pool_2x2  # noqa: F401 (re-export)
 from ...nn.layers import conv2d
 
 

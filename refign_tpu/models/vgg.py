@@ -13,7 +13,6 @@ from __future__ import annotations
 from typing import List, Optional, Sequence
 
 import jax
-import jax.numpy as jnp
 from flax import linen as nn
 
 from ..nn.layers import TorchBatchNorm, conv2d

@@ -26,7 +26,6 @@ from typing import Any, Dict, NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 import optax
-from flax.core import FrozenDict
 
 from ..models.segmentor import Segmentor
 from ..ops.resize import interpolate
