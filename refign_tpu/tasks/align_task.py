@@ -26,6 +26,12 @@ from ..utils.checkpoint import (load_torch_alignment_head,
 from ..utils.sparse_epe import SparseEPE
 
 
+def _precision_dtype(precision) -> str:
+    if str(precision) in ("16", "bf16", "bfloat16"):
+        return "bfloat16"
+    return "float32"
+
+
 class AlignTask:
 
     def __init__(self, margs: Dict[str, Any], opt: OptimizerSpec,
@@ -55,6 +61,8 @@ class AlignTask:
             random_t_tps=cf.get("random_t_tps", 0.333),
             random_t_tps_for_afftps=cf.get("random_t_tps_for_afftps", 0.08),
             add_elastic=cf.get("add_elastic", False),
+            compute_dtype=_precision_dtype(
+                self.trainer_cfg.get("precision", 16)),
         )
         self.pretrained = margs.get("pretrained")
         self.metrics_cfg = parse_metrics(margs.get("metrics", {}))

@@ -33,6 +33,14 @@ from ..utils.checkpoint import (load_torch_alignment_head,
 from ..utils.palette import colorize_mask
 
 
+def _precision_dtype(precision) -> str:
+    """reference --trainer.precision {16,32} -> compute dtype
+    (16/'16'/'bf16' => bfloat16 on TPU)."""
+    if str(precision) in ("16", "bf16", "bfloat16"):
+        return "bfloat16"
+    return "float32"
+
+
 class SegTask:
 
     def __init__(self, margs: Dict[str, Any], opt: OptimizerSpec,
@@ -89,6 +97,8 @@ class SegTask:
             color_jitter_s=margs.get("color_jitter_s", 0.2),
             color_jitter_p=margs.get("color_jitter_p", 0.2),
             blur=margs.get("blur", True),
+            compute_dtype=_precision_dtype(
+                self.trainer_cfg.get("precision", 16)),
         )
         self.backbone_lr_factor = margs.get("backbone_lr_factor", 1.0)
         self.use_slide_inference = margs.get("use_slide_inference", False)
