@@ -158,9 +158,11 @@ def make_align_train_step(backbone, head, tx, cfg: AlignConfig):
             variables = {"params": _cast(params),
                          "batch_stats": state.batch_stats}
 
-            def head_pass(vs, src_pyr, trg_pyr, src256, trg256):
+            def head_pass(vs, trg_pyr, src_pyr, trg256, src256):
+                # head signature is (trg, src, trg_256, src_256) -> flow
+                # trg->src (uawarpc.py:95)
                 out, mut = head.apply(
-                    vs, src_pyr, trg_pyr, src256, trg256, (H, W),
+                    vs, trg_pyr, src_pyr, trg256, src256, (H, W),
                     train=True, mutable=["batch_stats"])
                 return out, {"params": vs["params"],
                              "batch_stats": mut["batch_stats"]}
