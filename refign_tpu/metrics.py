@@ -60,7 +60,11 @@ def iou_compute(confmat: jax.Array, average: str = "macro",
     scores = jnp.where(union == 0, absent_score, inter / jnp.maximum(union, 1))
     present = confmat.sum(axis=1) != 0
     if average in ("none", None):
-        return scores if not over_present_classes else (scores, present)
+        # per-class scores; with over_present_classes, absent classes are
+        # NaN (like torchmetrics average='none')
+        if over_present_classes:
+            return jnp.where(present, scores, jnp.nan)
+        return scores
     if average == "macro":
         if over_present_classes:
             n = jnp.maximum(present.sum(), 1)

@@ -188,3 +188,56 @@ def test_align_cli_fit_and_validate(tmp_path):
     assert any("val_MegaDepth_AEPE" in l for l in lines)
     assert any("val_MegaDepth_AUSE_AEPE" in l for l in lines)
     assert os.path.exists(os.path.join(workdir, "checkpoints", "last"))
+
+
+def test_cityscapes_rare_class_sampling(tmp_path):
+    """RCS draws rare classes preferentially (reference cityscapes.py:139-191)."""
+    import json
+    import random as pyrandom
+    from PIL import Image as PILImage
+    from refign_tpu.data.datasets.seg_datasets import Cityscapes
+    from refign_tpu.data import transforms as T
+
+    root = str(tmp_path / "cs")
+    img_dir = os.path.join(root, "leftImg8bit", "train", "a")
+    sem_dir = os.path.join(root, "gtFine", "train", "a")
+    os.makedirs(img_dir)
+    os.makedirs(sem_dir)
+    rng = np.random.RandomState(0)
+    stats, swc = [], {}
+    for i, rare in enumerate([False, True]):
+        sem = np.zeros((32, 32), np.uint8)  # class 0 everywhere
+        if rare:
+            sem[:16] = 7  # rare class on half the image
+        name = f"a_{i:02d}"
+        PILImage.fromarray(rng.randint(0, 255, (32, 32, 3),
+                                       dtype=np.uint8)).save(
+            os.path.join(img_dir, name + "_leftImg8bit.png"))
+        sem_path = os.path.join(sem_dir, name + "_gtFine_labelTrainIds.png")
+        PILImage.fromarray(sem).save(sem_path)
+        cls, cnt = np.unique(sem, return_counts=True)
+        st = {str(int(c)): int(n) for c, n in zip(cls, cnt)}
+        st["file"] = sem_path
+        stats.append(st)
+        for c, n in zip(cls, cnt):
+            swc.setdefault(str(int(c)), []).append([sem_path, int(n)])
+    with open(os.path.join(root, "sample_class_stats.json"), "w") as f:
+        json.dump(stats, f)
+    with open(os.path.join(root, "samples_with_class.json"), "w") as f:
+        json.dump(swc, f)
+
+    pyrandom.seed(0)
+    ds = Cityscapes(root, stage="train", load_keys=["image", "semantic"],
+                    dims=(32, 32), rcs_enabled=True, rcs_min_pixels=10,
+                    rcs_min_crop_ratio=0.5,
+                    transforms=T.Compose([T.ToTensor()]))
+    # class 7 is far rarer than 0 globally -> temperature softmax
+    # concentrates nearly all probability on it
+    counts = {0: 0, 7: 0}
+    for _ in range(20):
+        s = ds[0]
+        if (np.asarray(s["semantic"]) == 7).sum() > 0:
+            counts[7] += 1
+        else:
+            counts[0] += 1
+    assert counts[7] >= 18, counts
