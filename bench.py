@@ -69,8 +69,10 @@ def main():
         except Exception as e:  # jax.errors.JaxRuntimeError and friends
             if attempt == 3:
                 raise
-            print(f"# compile attempt {attempt + 1} failed "
-                  f"({type(e).__name__}); retrying", flush=True)
+            import sys
+            print(f"compile attempt {attempt + 1} failed "
+                  f"({type(e).__name__}); retrying", file=sys.stderr,
+                  flush=True)
             time.sleep(10)
 
     n_iter = 10
