@@ -43,3 +43,24 @@ def test_pallas_attention_bf16():
     np.testing.assert_allclose(np.asarray(got, np.float32),
                                np.asarray(want, np.float32),
                                rtol=2e-2, atol=2e-2)
+
+
+def test_bf16_einsum_path_close_to_fp32():
+    """The bf16-logit softmax path tracks the fp32 path within bf16
+    tolerance (it replaces the reference's fp16-AMP attention)."""
+    rng = np.random.RandomState(2)
+    B, N, M, H, D = 2, 200, 49, 2, 64
+    q = rng.randn(B, N, H, D).astype(np.float32)
+    k = rng.randn(B, M, H, D).astype(np.float32)
+    v = rng.randn(B, M, H, D).astype(np.float32)
+    scale = D ** -0.5
+    want = np.asarray(sra_attention(jnp.asarray(q), jnp.asarray(k),
+                                    jnp.asarray(v), scale,
+                                    use_pallas=False))
+    got = np.asarray(sra_attention(
+        jnp.asarray(q, jnp.bfloat16), jnp.asarray(k, jnp.bfloat16),
+        jnp.asarray(v, jnp.bfloat16), scale,
+        use_pallas=False).astype(jnp.float32))
+    assert np.abs(got - want).max() < 0.1
+    # probabilistically: mean abs deviation small
+    assert np.abs(got - want).mean() < 0.01
