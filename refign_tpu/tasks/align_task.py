@@ -90,8 +90,28 @@ class AlignTask:
             extract_only_indices=[-2, -1])
         hvars = self.head.init(rng, feats, feats, feats256, feats256,
                                (H, W))
-        if self.head_pretrained and os.path.exists(self.head_pretrained):
-            loaded = load_torch_alignment_head(self.head_pretrained)
+        from ..utils.checkpoint import load_torch_backbone
+        from ..utils.pretrained import backbone_family, resolve_pretrained
+        from ..utils.torch_convert import subset_like
+        if self.backbone_pretrained:
+            path = resolve_pretrained(
+                self.backbone_pretrained,
+                family=backbone_family(self.backbone),
+                model_type=getattr(self.backbone, "model_type", None))
+            bv = load_torch_backbone(path)
+            bvars = dict(bvars)
+            bvars["params"] = subset_like(bv["params"], bvars["params"])
+            if bv["batch_stats"] and "batch_stats" in bvars:
+                bvars["batch_stats"] = subset_like(bv["batch_stats"],
+                                                   bvars["batch_stats"])
+        if self.head_pretrained:
+            loaded = load_torch_alignment_head(
+                resolve_pretrained(self.head_pretrained))
+            hvars = {"params": loaded["params"],
+                     "batch_stats": loaded["batch_stats"]}
+        if self.pretrained:
+            loaded = load_torch_alignment_head(
+                resolve_pretrained(self.pretrained))
             hvars = {"params": loaded["params"],
                      "batch_stats": loaded["batch_stats"]}
         tx, sched_fn = make_adam_optimizer(self.opt.lr,
@@ -189,6 +209,11 @@ class AlignTask:
         for name, loader in zip(names, loaders):
             specs = self.metrics_cfg.get(stage, {}).get(
                 name, [("SparseEPE", {})])
+            for mname, _ in specs:
+                if mname != "SparseEPE":
+                    raise ValueError(
+                        f"unsupported metric '{mname}' for matching "
+                        f"dataset '{name}' (supported: SparseEPE)")
             metric = SparseEPE(uncertainty_estimation=any(
                 a.get("uncertainty_estimation") for _, a in specs))
             for batch in loader:

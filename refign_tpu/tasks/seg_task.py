@@ -30,6 +30,7 @@ from ..uda.trainer import (UDAConfig, UDATrainState, init_uda_state,
 from ..utils.checkpoint import (load_torch_alignment_head,
                                 load_torch_backbone, load_torch_full_uda,
                                 restore_checkpoint, save_checkpoint)
+from ..utils.torch_convert import subset_like
 from ..utils.palette import colorize_mask
 
 
@@ -66,7 +67,7 @@ class SegTask:
             hrda_output_stride=margs.get("hrda_output_stride", 4))
 
         self.align_backbone = self.align_head = None
-        self.align_head_pretrained = None
+        self.align_head_pretrained = self.align_backbone_pretrained = None
         if margs.get("alignment_backbone") and margs.get("alignment_head"):
             self.align_backbone, self.align_backbone_pretrained = \
                 build_backbone(margs["alignment_backbone"])
@@ -135,13 +136,16 @@ class SegTask:
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
 
-        # bootstrap pretrained weights
+        # bootstrap pretrained weights ('imagenet'/'cityscapes' keywords,
+        # paths, URLs — reference mix_transformer.py:445-462); unresolvable
+        # sources abort loudly rather than silently random-initializing
         if self.backbone_pretrained:
-            loaded = self._resolve_torch(self.backbone_pretrained)
-            if loaded is not None:
-                bb = load_torch_backbone(loaded)
-                params = dict(params)
-                params["backbone"] = bb["params"]
+            loaded = self._resolve_torch(self.backbone_pretrained,
+                                         self.backbone)
+            bb = load_torch_backbone(loaded)
+            params = dict(params)
+            params["backbone"] = subset_like(bb["params"],
+                                             params["backbone"])
 
         align_params = None
         if self.align_backbone is not None:
@@ -157,12 +161,17 @@ class SegTask:
             align_params = {"backbone": ab_vars["params"],
                             "head": ah_vars["params"],
                             "head_stats": ah_vars.get("batch_stats", {})}
+            if self.align_backbone_pretrained:
+                loaded = self._resolve_torch(self.align_backbone_pretrained,
+                                             self.align_backbone)
+                bv = load_torch_backbone(loaded)
+                align_params["backbone"] = subset_like(
+                    bv["params"], align_params["backbone"])
             if self.align_head_pretrained:
                 loaded = self._resolve_torch(self.align_head_pretrained)
-                if loaded is not None:
-                    hv = load_torch_alignment_head(loaded)
-                    align_params["head"] = hv["params"]
-                    align_params["head_stats"] = hv["batch_stats"]
+                hv = load_torch_alignment_head(loaded)
+                align_params["head"] = hv["params"]
+                align_params["head_stats"] = hv["batch_stats"]
 
         tx, sched_fn = make_uda_optimizer(
             params, self.opt.lr, self.opt.weight_decay,
@@ -177,32 +186,30 @@ class SegTask:
 
         if self.pretrained:
             loaded = self._resolve_torch(self.pretrained)
-            if loaded is not None:
-                groups = load_torch_full_uda(loaded)
-                state = self._load_full(state, groups)
-                if "alignment_head" in groups and align_params is not None:
-                    align_params["head"] = groups["alignment_head"]["params"]
-                    align_params["head_stats"] = \
-                        groups["alignment_head"]["batch_stats"]
-                if ("alignment_backbone" in groups
-                        and align_params is not None):
-                    align_params["backbone"] = \
-                        groups["alignment_backbone"]["params"]
+            groups = load_torch_full_uda(loaded)
+            assert groups, f"no recognized submodules in {loaded}"
+            state = self._load_full(state, groups)
+            if "alignment_head" in groups and align_params is not None:
+                align_params["head"] = groups["alignment_head"]["params"]
+                align_params["head_stats"] = \
+                    groups["alignment_head"]["batch_stats"]
+            if ("alignment_backbone" in groups
+                    and align_params is not None):
+                align_params["backbone"] = subset_like(
+                    groups["alignment_backbone"]["params"],
+                    align_params["backbone"])
         return state, align_params
 
     @staticmethod
-    def _resolve_torch(path: str) -> Optional[str]:
-        if path in ("imagenet", "cityscapes"):
-            # keyword paths resolve through TORCH_HOME/hub like the
-            # reference (mix_transformer.py:455-462)
-            return None
-        if os.path.exists(path):
-            return path
-        hub = os.path.join(os.environ.get("TORCH_HOME", ""), "hub", path)
-        if os.path.exists(hub):
-            return hub
-        print(f"[seg_task] pretrained '{path}' not found; skipping")
-        return None
+    def _resolve_torch(spec: str, module=None) -> str:
+        """Resolve keyword/path/URL to a local checkpoint file; raises if
+        the source cannot be found (reference mix_transformer.py:445-462,
+        segmentation_model.py:421-436)."""
+        from ..utils.pretrained import backbone_family, resolve_pretrained
+        family = backbone_family(module) if module is not None else None
+        return resolve_pretrained(
+            spec, family=family,
+            model_type=getattr(module, "model_type", None))
 
     def _load_full(self, state: UDATrainState, groups) -> UDATrainState:
         params = dict(state.params)
@@ -268,25 +275,50 @@ class SegTask:
         loaders = self.datamodule.eval_dataloaders(stage)
         names = self.datamodule.stage_on[stage]
         for name, loader in zip(names, loaders):
+            # honor the per-dataset metric list from the config (reference
+            # segmentation_model.py:258-281 routes arbitrary metric
+            # collections per eval dataloader; the seg metric universe is
+            # IoU with per-spec init_args)
+            metric_specs = self.metrics_cfg.get(stage, {}).get(
+                name, [("IoU", {})])
+            for mname, margs_ in metric_specs:
+                if mname != "IoU":
+                    raise ValueError(
+                        f"unsupported metric '{mname}' for segmentation "
+                        f"dataset '{name}' (supported: IoU)")
+                nc = margs_.get("num_classes", self.num_classes)
+                if nc != self.num_classes:
+                    raise ValueError(
+                        f"metric num_classes {nc} != model "
+                        f"{self.num_classes}")
+            # one confusion matrix per distinct ignore_index; every IoU
+            # variant computes from the matching accumulator
+            ign_list = sorted({m.get("ignore_index", 255)
+                               for _, m in metric_specs})
+            confmats = {ig: iou_init(self.num_classes) for ig in ign_list}
+            update = jax.jit(iou_update, static_argnames=("ignore_index",))
             fwd = None
-            confmat = iou_init(self.num_classes)
-            update = jax.jit(lambda cm, lg, y: iou_update(cm, lg, y))
             for batch in loader:
                 x = jnp.asarray(batch["image"])
                 y = jnp.asarray(batch["semantic"])
                 if fwd is None:
                     fwd = self.make_forward(tuple(y.shape[1:3]))
                 logits = fwd(variables, x)
-                confmat = update(confmat, logits, y)
-            metric_specs = self.metrics_cfg.get(stage, {}).get(
-                name, [("IoU", {})])
-            for mname, margs_ in metric_specs:
-                if mname == "IoU":
-                    val = float(iou_compute(
-                        confmat, "macro",
-                        over_present_classes=margs_.get(
-                            "over_present_classes", False)))
-                    results[f"{stage}_{name}_IoU"] = val
+                preds = jnp.argmax(logits, axis=-1)
+                for ig in ign_list:
+                    confmats[ig] = update(confmats[ig], preds, y,
+                                          ignore_index=ig)
+            for i, (mname, margs_) in enumerate(metric_specs):
+                val = float(iou_compute(
+                    confmats[margs_.get("ignore_index", 255)],
+                    margs_.get("average", "macro"),
+                    absent_score=margs_.get("absent_score", 0.0),
+                    over_present_classes=margs_.get(
+                        "over_present_classes", False)))
+                key = f"{stage}_{name}_{mname}"
+                if len(metric_specs) > 1 and i > 0:
+                    key = f"{key}_{i}"
+                results[key] = val
         return results
 
     # ------------------------------------------------------------------- fit

@@ -114,6 +114,24 @@ def convert_state_dict(state_dict: Mapping[str, Any],
     return {"params": params, "batch_stats": batch_stats}
 
 
+def subset_like(converted, target, path=""):
+    """Keep only the keys of ``target`` in ``converted`` (recursively).
+
+    Used when the torch checkpoint carries more layers than the flax module
+    instantiates (e.g. torchvision VGG built only up to the deepest needed
+    pyramid level, reference vgg.py:108-120).  Raises if ``target`` has a
+    key the checkpoint lacks — loads stay strict in that direction.
+    """
+    if not isinstance(target, dict):
+        return converted
+    out = {}
+    for k, t in target.items():
+        if not isinstance(converted, dict) or k not in converted:
+            raise KeyError(f"checkpoint missing key {path}/{k}")
+        out[k] = subset_like(converted[k], t, f"{path}/{k}")
+    return out
+
+
 def check_tree_match(converted, target, path="") -> list:
     """Return list of mismatch descriptions between converted and target
     param trees (missing/extra/shape)."""
