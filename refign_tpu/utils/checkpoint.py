@@ -77,26 +77,41 @@ def load_torch_full_uda(path: str) -> Dict[str, Dict]:
 
 def save_checkpoint(ckpt_dir: str, state: Any, step: int,
                     keep: int = 3, save_last: bool = True) -> None:
+    """Save a full train-state checkpoint; atomically re-point ``last``.
+
+    Crash-safety (SURVEY.md §5.3 — resume via ``last`` is the framework's
+    only recovery mechanism): the ``last`` symlink is swapped with an
+    atomic rename (a crash leaves either the old or the new target, never
+    a missing/dangling link), and pruning never removes the directory
+    ``last`` currently points to, even if an older copy of the link
+    survives a partial run.
+    """
     import orbax.checkpoint as ocp
     ckpt_dir = os.path.abspath(ckpt_dir)
     os.makedirs(ckpt_dir, exist_ok=True)
     with ocp.StandardCheckpointer() as ckptr:
         path = os.path.join(ckpt_dir, f"step_{step}")
         ckptr.save(path, jax.device_get(state), force=True)
+    last = os.path.join(ckpt_dir, "last")
     if save_last:
-        last = os.path.join(ckpt_dir, "last")
-        if os.path.islink(last) or os.path.exists(last):
-            try:
-                os.remove(last)
-            except IsADirectoryError:
-                import shutil
-                shutil.rmtree(last)
-        os.symlink(path, last)
-    # prune old checkpoints
+        if os.path.exists(last) and not os.path.islink(last):
+            import shutil
+            shutil.rmtree(last)
+        tmp = os.path.join(ckpt_dir, f".last.tmp.{os.getpid()}")
+        if os.path.lexists(tmp):
+            os.remove(tmp)
+        os.symlink(path, tmp)
+        os.replace(tmp, last)  # atomic swap
+    # prune old checkpoints, but never the one `last` points to
+    pinned = None
+    if os.path.islink(last):
+        pinned = os.path.basename(os.readlink(last))
     steps = sorted(
         int(d.split("_")[1]) for d in os.listdir(ckpt_dir)
         if d.startswith("step_"))
     for s in steps[:-keep]:
+        if f"step_{s}" == pinned:
+            continue
         import shutil
         shutil.rmtree(os.path.join(ckpt_dir, f"step_{s}"),
                       ignore_errors=True)

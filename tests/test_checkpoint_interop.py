@@ -83,3 +83,29 @@ def test_orbax_roundtrip(tmp_path):
         save_checkpoint(ckpt_dir, state, step=s)
     steps = [d for d in os.listdir(ckpt_dir) if d.startswith("step_")]
     assert len(steps) <= 3
+
+
+def test_prune_never_strands_last(tmp_path):
+    """Crash-resume guard: `last` always resolves to a live checkpoint,
+    even when the link lags behind the newest saves (e.g. after a crash
+    between save and symlink swap on an older run)."""
+    state = {"step": np.asarray(0, np.int32),
+             "params": {"w": np.zeros((2,), np.float32)}}
+    ckpt_dir = str(tmp_path / "ckpts")
+    save_checkpoint(ckpt_dir, state, step=1)
+    # simulate a stale `last` from an interrupted run: re-point it at step_1
+    last = os.path.join(ckpt_dir, "last")
+    os.remove(last)
+    os.symlink(os.path.join(ckpt_dir, "step_1"), last)
+    # subsequent saves with save_last=False prune aggressively but must
+    # keep step_1 alive because `last` points at it
+    for s in (2, 3, 4, 5):
+        save_checkpoint(ckpt_dir, state, step=s, keep=2, save_last=False)
+    assert os.path.isdir(os.path.join(ckpt_dir, "step_1"))
+    restored = restore_checkpoint(last, state)
+    np.testing.assert_array_equal(restored["params"]["w"],
+                                  state["params"]["w"])
+    # normal save re-points `last` atomically to the newest step
+    save_checkpoint(ckpt_dir, state, step=6, keep=2)
+    assert os.readlink(last).endswith("step_6")
+    assert not os.path.isdir(os.path.join(ckpt_dir, "step_1"))
