@@ -13,7 +13,14 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ...nn.layers import ConvBNReLU, Dropout2d, MLPEmbed, conv2d
+from ...nn.layers import (ConvBNReLU, Dropout2d, MLPEmbed, conv2d,
+                          kaiming_normal_fanout, normal_init)
+from flax.linen import initializers as _fl_init
+
+# mmseg init (reference daformer.py:187-201): ConvBNReLU convs kaiming
+# fan_out/relu with zero bias; classifier N(0, 0.01) with zero bias
+_CBR_INIT = dict(kernel_init=kaiming_normal_fanout(),
+                 bias_init=_fl_init.zeros)
 from ...ops.resize import interpolate
 from .base import transform_inputs
 
@@ -32,16 +39,18 @@ class DepthwiseSeparableASPP(nn.Module):
             if d == 1:
                 branch = ConvBNReLU(self.channels, kernel_size=1, padding=0,
                                     bn_axis_name=self.bn_axis_name,
+                                    **_CBR_INIT,
                                     name=f"aspp_modules_{i}")
             else:
                 branch = ConvBNReLU(self.channels, kernel_size=3, dilation=d,
                                     padding=d, depthwise_separable=True,
                                     bn_axis_name=self.bn_axis_name,
+                                    **_CBR_INIT,
                                     name=f"aspp_modules_{i}")
             outs.append(branch(x, train=train))
         x = jnp.concatenate(outs, axis=-1)
         x = ConvBNReLU(self.channels, kernel_size=3, padding=1,
-                       bn_axis_name=self.bn_axis_name,
+                       bn_axis_name=self.bn_axis_name, **_CBR_INIT,
                        name="bottleneck")(x, train=train)
         return x
 
@@ -74,5 +83,6 @@ class DAFormerHead(nn.Module):
         x = Dropout2d(self.dropout_ratio, name="dropout")(
             x, deterministic=deterministic)
         x = conv2d(self.num_classes, kernel_size=1, padding=0,
+                   kernel_init=normal_init(0.01), bias_init=_fl_init.zeros,
                    name="conv_seg")(x)
         return x

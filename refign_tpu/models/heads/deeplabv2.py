@@ -7,7 +7,7 @@ from typing import Optional, Sequence, Union
 import jax
 from flax import linen as nn
 
-from ...nn.layers import conv2d
+from ...nn.layers import conv2d, normal_init
 from .base import transform_inputs
 
 
@@ -23,7 +23,10 @@ class DeepLabV2Head(nn.Module):
         x = transform_inputs(inputs, self.in_index, self.input_transform)
         out = None
         for i, d in enumerate(self.dilation_series):
+            # reference deeplabv2.py:21-23: N(0, 0.01) weights, zero bias
             y = conv2d(self.num_classes, kernel_size=3, stride=1, padding=d,
-                       dilation=d, name=f"conv2d_list_{i}")(x)
+                       dilation=d, kernel_init=normal_init(0.01),
+                       bias_init=nn.initializers.zeros,
+                       name=f"conv2d_list_{i}")(x)
             out = y if out is None else out + y
         return out

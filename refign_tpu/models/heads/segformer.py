@@ -15,7 +15,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ...nn.layers import ConvBNReLU, Dropout2d, MLPEmbed, conv2d
+from ...nn.layers import (ConvBNReLU, Dropout2d, MLPEmbed, conv2d,
+                          kaiming_normal_fanout, normal_init)
 from ...ops.resize import interpolate
 from .base import transform_inputs
 
@@ -47,11 +48,16 @@ class SegFormerHead(nn.Module):
         _c1 = embed_up(c1, "linear_c1")
 
         x = jnp.concatenate([_c4, _c3, _c2, _c1], axis=-1)
+        # mmseg init (reference segformer.py:62-76)
         x = ConvBNReLU(self.channels, kernel_size=1,
                        bn_axis_name=self.bn_axis_name,
+                       kernel_init=kaiming_normal_fanout(),
+                       bias_init=nn.initializers.zeros,
                        name="linear_fuse")(x, train=train)
         x = Dropout2d(self.dropout_ratio, name="dropout")(
             x, deterministic=deterministic)
         x = conv2d(self.num_classes, kernel_size=1, padding=0,
+                   kernel_init=normal_init(0.01),
+                   bias_init=nn.initializers.zeros,
                    name="linear_pred")(x)
         return x

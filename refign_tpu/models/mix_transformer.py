@@ -26,8 +26,15 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from ..nn.layers import DropPath, TorchLayerNorm, conv2d, gelu
+from ..nn.layers import (DropPath, TorchLayerNorm, conv2d, gelu,
+                         kaiming_normal_fanout, normal_init)
 from ..ops.attention import sra_attention
+
+# reference init rules (mix_transformer.py:429-442): Linear ->
+# trunc_normal(std=.02) (±2.0 absolute truncation == untruncated at this
+# std) with zero bias; Conv2d -> N(0, sqrt(2/(k*k*out/groups)))
+_LINEAR_INIT = normal_init(0.02)
+_ZEROS = nn.initializers.zeros
 
 ARCH_SETTINGS = {
     # embed_dims, num_heads, mlp_ratios, depths, sr_ratios
@@ -73,18 +80,23 @@ class SRAttention(nn.Module):
         scale = self.qk_scale or hd ** -0.5
 
         q = nn.Dense(C, use_bias=self.qkv_bias, param_dtype=jnp.float32,
+                     kernel_init=_LINEAR_INIT, bias_init=_ZEROS,
                      name="q")(x)
         q = q.reshape(B, H * W, nh, hd)
 
         if self.sr_ratio > 1:
             kv_in = conv2d(C, kernel_size=self.sr_ratio,
-                           stride=self.sr_ratio, padding=0, name="sr")(x)
+                           stride=self.sr_ratio, padding=0,
+                           kernel_init=kaiming_normal_fanout(),
+                           bias_init=_ZEROS, name="sr")(x)
             kv_in = TorchLayerNorm(epsilon=1e-5, name="norm")(kv_in)
             kv_in = kv_in.reshape(B, -1, C)
         else:
             kv_in = x.reshape(B, H * W, C)
         kv = nn.Dense(2 * C, use_bias=self.qkv_bias,
-                      param_dtype=jnp.float32, name="kv")(kv_in)
+                      param_dtype=jnp.float32,
+                      kernel_init=_LINEAR_INIT, bias_init=_ZEROS,
+                      name="kv")(kv_in)
         kv = kv.reshape(B, -1, 2, nh, hd)
         k = kv[:, :, 0]
         v = kv[:, :, 1]
@@ -93,7 +105,9 @@ class SRAttention(nn.Module):
         # einsum fallback elsewhere — numerics identical
         out = sra_attention(q, k, v, scale)
         out = out.reshape(B, H, W, C)
-        out = nn.Dense(C, param_dtype=jnp.float32, name="proj")(out)
+        out = nn.Dense(C, param_dtype=jnp.float32,
+                       kernel_init=_LINEAR_INIT, bias_init=_ZEROS,
+                       name="proj")(out)
         return out
 
 
@@ -107,12 +121,18 @@ class MixFFN(nn.Module):
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
         # fc1/fc2 as 1x1 convs keeps the whole FFN in conv layout (fewer
         # relayout copies between token-view Dense and the depthwise conv)
+        # fc1/fc2 are nn.Linear in the reference -> trunc_normal(.02);
+        # dwconv is Conv2d -> kaiming fan_out divided by groups
         h = conv2d(self.hidden_dim, kernel_size=1, padding=0,
+                   kernel_init=_LINEAR_INIT, bias_init=_ZEROS,
                    name="fc1")(x)
         h = conv2d(self.hidden_dim, kernel_size=3, stride=1, padding=1,
-                   groups=self.hidden_dim, name="dwconv")(h)
+                   groups=self.hidden_dim,
+                   kernel_init=kaiming_normal_fanout(self.hidden_dim),
+                   bias_init=_ZEROS, name="dwconv")(h)
         h = gelu(h)
         return conv2d(self.out_dim, kernel_size=1, padding=0,
+                      kernel_init=_LINEAR_INIT, bias_init=_ZEROS,
                       name="fc2")(h)
 
 
@@ -152,6 +172,7 @@ class OverlapPatchEmbed(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         x = conv2d(self.embed_dim, kernel_size=self.patch_size,
                    stride=self.stride, padding=self.patch_size // 2,
+                   kernel_init=kaiming_normal_fanout(), bias_init=_ZEROS,
                    name="proj")(x)
         x = TorchLayerNorm(epsilon=1e-5, name="norm")(x)
         return x

@@ -14,7 +14,12 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..nn.layers import TorchBatchNorm, conv2d
+from ..nn.layers import TorchBatchNorm, conv2d, kaiming_normal_fanout
+from flax.linen import initializers as _fl_init
+
+# reference resnet.py:320-339: kaiming fan_out/relu convs, BN 1/0, and
+# zero-init of the last BN scale in each residual branch
+_KAIMING = kaiming_normal_fanout()
 
 ARCH_SETTINGS = {
     "resnet18_v1c": dict(block="basic", stage_blocks=(2, 2, 2, 2)),
@@ -54,16 +59,19 @@ class BasicBlock(nn.Module):
         bn_train = train if norm_train is None else norm_train
         identity = x
         out = conv2d(self.planes, 3, self.stride, self.dilation,
-                     self.dilation, use_bias=False, name="conv1")(x)
+                     self.dilation, use_bias=False,
+                     kernel_init=_KAIMING, name="conv1")(x)
         out = TorchBatchNorm(axis_name=self.bn_axis_name, name="bn1")(
             out, use_running_average=not bn_train)
         out = jax.nn.relu(out)
-        out = conv2d(self.planes, 3, 1, 1, use_bias=False, name="conv2")(out)
-        out = TorchBatchNorm(axis_name=self.bn_axis_name, name="bn2")(
+        out = conv2d(self.planes, 3, 1, 1, use_bias=False,
+                     kernel_init=_KAIMING, name="conv2")(out)
+        out = TorchBatchNorm(axis_name=self.bn_axis_name, name="bn2",
+                             scale_init=_fl_init.zeros)(
             out, use_running_average=not bn_train)
         if self.has_downsample:
             identity = conv2d(self.planes, 1, self.stride, 0, use_bias=False,
-                              name="downsample_0")(x)
+                              kernel_init=_KAIMING, name="downsample_0")(x)
             identity = TorchBatchNorm(axis_name=self.bn_axis_name,
                                       name="downsample_1")(
                 identity, use_running_average=not bn_train)
@@ -85,22 +93,26 @@ class Bottleneck(nn.Module):
                  norm_train: Optional[bool] = None) -> jax.Array:
         bn_train = train if norm_train is None else norm_train
         identity = x
-        out = conv2d(self.planes, 1, 1, 0, use_bias=False, name="conv1")(x)
+        out = conv2d(self.planes, 1, 1, 0, use_bias=False,
+                     kernel_init=_KAIMING, name="conv1")(x)
         out = TorchBatchNorm(axis_name=self.bn_axis_name, name="bn1")(
             out, use_running_average=not bn_train)
         out = jax.nn.relu(out)
         out = conv2d(self.planes, 3, self.stride, self.dilation,
-                     self.dilation, use_bias=False, name="conv2")(out)
+                     self.dilation, use_bias=False,
+                     kernel_init=_KAIMING, name="conv2")(out)
         out = TorchBatchNorm(axis_name=self.bn_axis_name, name="bn2")(
             out, use_running_average=not bn_train)
         out = jax.nn.relu(out)
         out = conv2d(self.planes * self.expansion, 1, 1, 0, use_bias=False,
-                     name="conv3")(out)
-        out = TorchBatchNorm(axis_name=self.bn_axis_name, name="bn3")(
+                     kernel_init=_KAIMING, name="conv3")(out)
+        out = TorchBatchNorm(axis_name=self.bn_axis_name, name="bn3",
+                             scale_init=_fl_init.zeros)(
             out, use_running_average=not bn_train)
         if self.has_downsample:
             identity = conv2d(self.planes * self.expansion, 1, self.stride,
-                              0, use_bias=False, name="downsample_0")(x)
+                              0, use_bias=False, kernel_init=_KAIMING,
+                              name="downsample_0")(x)
             identity = TorchBatchNorm(axis_name=self.bn_axis_name,
                                       name="downsample_1")(
                 identity, use_running_average=not bn_train)
@@ -138,7 +150,7 @@ class ResNet(nn.Module):
         c = self.stem_channels
         for i, (ch, st) in enumerate([(c // 2, 2), (c // 2, 1), (c, 1)]):
             x = conv2d(ch, 3, st, 1, use_bias=False,
-                       name=f"stem_{3 * i}")(x)
+                       kernel_init=_KAIMING, name=f"stem_{3 * i}")(x)
             x = TorchBatchNorm(axis_name=self.bn_axis_name,
                                name=f"stem_{3 * i + 1}")(
                 x, use_running_average=not bn_train)

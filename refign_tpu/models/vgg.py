@@ -15,8 +15,13 @@ from typing import List, Optional, Sequence
 import jax
 from flax import linen as nn
 
-from ..nn.layers import TorchBatchNorm, conv2d
+from flax.linen import initializers as _fl_init
+
+from ..nn.layers import TorchBatchNorm, conv2d, kaiming_normal_fanout
 from .matching_modules import max_pool_2x2
+
+# reference vgg.py:81-90: kaiming fan_out/relu convs with zero bias
+_KAIMING = kaiming_normal_fanout()
 
 CFGS = {
     "A": [64, "M", 128, "M", 256, 256, "M", 512, 512, "M", 512, 512, "M"],
@@ -79,6 +84,7 @@ class VGG(nn.Module):
                 pos += 1
             else:
                 x = conv2d(ch, kernel_size=3, padding=1,
+                           kernel_init=_KAIMING, bias_init=_fl_init.zeros,
                            name=f"features_{conv_idx}")(x)
                 pos += 1
                 if batch_norm:
