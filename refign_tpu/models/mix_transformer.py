@@ -26,9 +26,10 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from ..nn.layers import (DropPath, TorchLayerNorm, conv2d, gelu,
+from ..nn.layers import (DropPath, TorchLayerNorm, conv2d,
                          kaiming_normal_fanout, normal_init)
 from ..ops.attention import sra_attention
+from ..ops.dwconv import dwconv3x3_gelu
 
 # reference init rules (mix_transformer.py:429-442): Linear ->
 # trunc_normal(std=.02) (±2.0 absolute truncation == untruncated at this
@@ -111,6 +112,23 @@ class SRAttention(nn.Module):
         return out
 
 
+class DWConvGELU(nn.Module):
+    """Fused depthwise 3x3 conv + bias + exact GELU (ops/dwconv.py: Pallas
+    kernel on TPU, XLA shift-and-add elsewhere).  Param tree ('kernel',
+    'bias', HWIO depthwise layout) matches the plain conv2d it replaces, so
+    converted torch checkpoints load unchanged."""
+    dim: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        kernel = self.param("kernel", kaiming_normal_fanout(self.dim),
+                            (3, 3, 1, self.dim), jnp.float32)
+        bias = self.param("bias", _ZEROS, (self.dim,), jnp.float32)
+        from flax.linen.dtypes import promote_dtype
+        x, kernel, bias = promote_dtype(x, kernel, bias, dtype=None)
+        return dwconv3x3_gelu(x, kernel, bias)
+
+
 class MixFFN(nn.Module):
     """Mix-FFN: fc1 -> 3x3 depthwise conv -> GELU -> fc2
     (reference mix_transformer.py:79-103,556-568)."""
@@ -126,11 +144,7 @@ class MixFFN(nn.Module):
         h = conv2d(self.hidden_dim, kernel_size=1, padding=0,
                    kernel_init=_LINEAR_INIT, bias_init=_ZEROS,
                    name="fc1")(x)
-        h = conv2d(self.hidden_dim, kernel_size=3, stride=1, padding=1,
-                   groups=self.hidden_dim,
-                   kernel_init=kaiming_normal_fanout(self.hidden_dim),
-                   bias_init=_ZEROS, name="dwconv")(h)
-        h = gelu(h)
+        h = DWConvGELU(self.hidden_dim, name="dwconv")(h)
         return conv2d(self.out_dim, kernel_size=1, padding=0,
                       kernel_init=_LINEAR_INIT, bias_init=_ZEROS,
                       name="fc2")(h)

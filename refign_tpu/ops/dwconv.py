@@ -15,6 +15,7 @@ bf16xbf16 -> fp32 (same as XLA's conv accumulation).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -55,42 +56,74 @@ def _gelu_erf(x: jax.Array) -> jax.Array:
     return 0.5 * x * (1.0 + _erf(x * 0.7071067811865476))
 
 
-def _kernel(xp_ref, w_ref, b_ref, o_ref, *, H: int, W: int):
-    x = xp_ref[0]                        # (H+2, W+2, Ct)
+def _kernel(xp_ref, w_ref, b_ref, o_ref, *, Hs: int, W: int, n: int):
+    """Compute the stencil in strips of ``Hs`` rows: the input block stays
+    VMEM-resident once, while the fp32 accumulator/product temporaries are
+    bounded to one strip (a full-block fp32 accumulator blows the 16MB
+    scoped-VMEM limit at production shapes)."""
     w = w_ref[...]                       # (3, 3, Ct)
-    acc = None
-    for i in range(3):
-        for j in range(3):
-            t = (x[i:i + H, j:j + W, :].astype(jnp.float32)
-                 * w[i, j].astype(jnp.float32))
-            acc = t if acc is None else acc + t
-    acc = acc + b_ref[...].astype(jnp.float32)
-    o_ref[0] = _gelu_erf(acc).astype(o_ref.dtype)
+    b = b_ref[0].astype(jnp.float32)     # (Ct,)
+
+    def strip(s, _):
+        base = s * Hs                    # row offset into the padded block
+        acc = None
+        for i in range(3):
+            for j in range(3):
+                xs = xp_ref[0, pl.ds(base + i, Hs), j:j + W, :]
+                t = xs.astype(jnp.float32) * w[i, j].astype(jnp.float32)
+                acc = t if acc is None else acc + t
+        o_ref[0, pl.ds(base, Hs)] = _gelu_erf(acc + b).astype(o_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, n, strip, 0)
+
+
+# fp32 strip temporaries budget (the accumulator + a product temp live at
+# once; Mosaic scoped VMEM also holds the double-buffered in/out blocks)
+_STRIP_BUDGET_BYTES = 256 * 1024
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _dwconv3x3_gelu_pallas(x: jax.Array, w: jax.Array, b: jax.Array,
                            interpret: bool = False) -> jax.Array:
     B, H, W, C = x.shape
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    Hp, Wp = H + 2, W + 2
     w3 = w.reshape(3, 3, C)
-    tc = _pick_channel_tile(Hp, Wp, C, x.dtype.itemsize)
+    tc = _pick_channel_tile(H + 2, W + 2, C, x.dtype.itemsize)
     if tc is None:  # block cannot fit VMEM (large spatial, e.g. stage 1)
         return _dwconv3x3_gelu_xla(x, w, b)
+    Hs = max(1, min(H, _STRIP_BUDGET_BYTES // (W * tc * 4)))
+    n = -(-H // Hs)
+    Hpad = n * Hs                       # rows padded so strips tile evenly
+    xp = jnp.pad(x, ((0, 0), (1, 1 + Hpad - H), (1, 1), (0, 0)))
+    Hp, Wp = Hpad + 2, W + 2
     grid = (B, C // tc)
-    return pl.pallas_call(
-        functools.partial(_kernel, H=H, W=W),
-        out_shape=jax.ShapeDtypeStruct((B, H, W, C), x.dtype),
+    # bias is kept 2-D: Mosaic assigns 1-D operands a 1024-lane tiling that
+    # rejects any partial block; (1, C) gets the standard (8, 128) tiling
+    out = pl.pallas_call(
+        functools.partial(_kernel, Hs=Hs, W=W, n=n),
+        out_shape=jax.ShapeDtypeStruct((B, Hpad, W, C), x.dtype),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, Hp, Wp, tc), lambda b_, c: (b_, 0, 0, c)),
             pl.BlockSpec((3, 3, tc), lambda b_, c: (0, 0, c)),
-            pl.BlockSpec((tc,), lambda b_, c: (c,)),
+            pl.BlockSpec((1, tc), lambda b_, c: (0, c)),
         ],
-        out_specs=pl.BlockSpec((1, H, W, tc), lambda b_, c: (b_, 0, 0, c)),
+        out_specs=pl.BlockSpec((1, Hpad, W, tc),
+                               lambda b_, c: (b_, 0, 0, c)),
         interpret=interpret,
-    )(xp, w3, b)
+    )(xp, w3, b.reshape(1, C))
+    return out[:, :H] if Hpad != H else out
+
+
+def _dwconv3x3_gelu_conv(x: jax.Array, w: jax.Array,
+                         b: jax.Array) -> jax.Array:
+    """Plain grouped-conv lowering (the pre-fusion formulation) — kept as an
+    A/B arm selectable via REFIGN_TPU_DWCONV_PALLAS=conv."""
+    y = jax.lax.conv_general_dilated(
+        x, w, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=x.shape[-1])
+    return jax.nn.gelu(y + b, approximate=False)
 
 
 def _dwconv3x3_gelu_xla(x: jax.Array, w: jax.Array,
@@ -107,6 +140,34 @@ def _dwconv3x3_gelu_xla(x: jax.Array, w: jax.Array,
     return jax.nn.gelu(acc + b, approximate=False)
 
 
+def _is_tpu_backend() -> bool:
+    # the axon tunnel platform reports "axon", not "tpu"
+    return jax.default_backend() not in ("cpu", "gpu", "cuda", "rocm")
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _fused(use_pallas: bool, interpret: bool,
+           x: jax.Array, w: jax.Array, b: jax.Array) -> jax.Array:
+    if use_pallas:
+        return _dwconv3x3_gelu_pallas(x, w, b, interpret=interpret)
+    return _dwconv3x3_gelu_xla(x, w, b)
+
+
+def _fused_fwd(use_pallas, interpret, x, w, b):
+    return _fused(use_pallas, interpret, x, w, b), (x, w, b)
+
+
+def _fused_bwd(use_pallas, interpret, res, g):
+    # backward through the (numerically identical) XLA formulation — Pallas
+    # kernels have no autodiff rule, and the XLA bwd fuses well anyway
+    x, w, b = res
+    _, vjp = jax.vjp(_dwconv3x3_gelu_xla, x, w, b)
+    return vjp(g)
+
+
+_fused.defvjp(_fused_fwd, _fused_bwd)
+
+
 def dwconv3x3_gelu(x: jax.Array, w: jax.Array, b: jax.Array,
                    use_pallas: Optional[bool] = None,
                    interpret: bool = False) -> jax.Array:
@@ -118,7 +179,11 @@ def dwconv3x3_gelu(x: jax.Array, w: jax.Array, b: jax.Array,
       b: (C,) bias.
     """
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
-    if use_pallas:
-        return _dwconv3x3_gelu_pallas(x, w, b, interpret=interpret)
-    return _dwconv3x3_gelu_xla(x, w, b)
+        env = os.environ.get("REFIGN_TPU_DWCONV_PALLAS")  # kill switch / A-B
+        if env == "conv":
+            return _dwconv3x3_gelu_conv(x, w, b)
+        if env is not None:
+            use_pallas = env not in ("0", "false", "off")
+        else:
+            use_pallas = _is_tpu_backend()
+    return _fused(bool(use_pallas), bool(interpret), x, w, b)
