@@ -25,6 +25,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.resize import interpolate
+from ..parallel.mesh import shard_rows
 
 
 def compute_slide_boxes(img_size: Tuple[int, int],
@@ -173,7 +174,9 @@ class Segmentor(nn.Module):
         crops = jnp.concatenate(
             [x[:, y1:y2, x1:x2] for (y1, y2, x1, x2) in boxes], axis=0)
 
-        both = jnp.concatenate([lr_x, crops], axis=0)
+        # spread the (1 LR + n_crops HR) row batch across the active compute
+        # mesh — a v5e-8 runs 8 crops' backbone passes concurrently
+        both = shard_rows(jnp.concatenate([lr_x, crops], axis=0))
         both_feats = self.backbone(both, deterministic=True)
         lr_feats = [f[:B] for f in both_feats]
         both_seg = self.head(both_feats, train=train, deterministic=True)
@@ -210,7 +213,7 @@ def slide_inference(whole_fn: Callable[[jax.Array], jax.Array],
     """
     B, H, W, _ = img.shape
     boxes = compute_slide_boxes((H, W), crop_size, stride)
-    crops = jnp.concatenate(
-        [img[:, y1:y2, x1:x2] for (y1, y2, x1, x2) in boxes], axis=0)
+    crops = shard_rows(jnp.concatenate(
+        [img[:, y1:y2, x1:x2] for (y1, y2, x1, x2) in boxes], axis=0))
     crop_logits = whole_fn(crops)
     return fold_crops(crop_logits, boxes, (H, W), B)

@@ -16,7 +16,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = ["make_mesh", "shard_batch", "replicate", "data_sharding",
-           "cast_floating"]
+           "cast_floating", "compute_mesh", "shard_rows"]
 
 
 def make_mesh(devices: Optional[Sequence] = None,
@@ -38,6 +38,49 @@ def shard_batch(mesh: Mesh, batch: Any, axis_name: str = "data") -> Any:
 def replicate(mesh: Mesh, tree: Any) -> Any:
     sh = NamedSharding(mesh, P())
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+
+
+_COMPUTE_MESH: list = [None]
+
+
+class compute_mesh:
+    """Context manager marking ``mesh`` as the active compute mesh.
+
+    While active, :func:`shard_rows` constrains row-batched intermediates
+    (slide/HRDA crop stacks, eval batches) to be sharded over the mesh's
+    data axis, so a single logical forward spreads its crops across all
+    devices (SURVEY §5.8: "a v5e-8 evaluates 8 crops concurrently").
+    GSPMD handles non-divisible row counts by internal padding, so callers
+    never pad.
+    """
+
+    def __init__(self, mesh: Optional[Mesh]):
+        self.mesh = mesh if (mesh is not None
+                             and np.prod(mesh.devices.shape) > 1) else None
+
+    def __enter__(self):
+        self._prev = _COMPUTE_MESH[0]
+        _COMPUTE_MESH[0] = self.mesh
+        return self.mesh
+
+    def __exit__(self, *exc):
+        _COMPUTE_MESH[0] = self._prev
+        return False
+
+
+def active_mesh() -> Optional[Mesh]:
+    return _COMPUTE_MESH[0]
+
+
+def shard_rows(x: Any, axis_name: str = "data") -> Any:
+    """Constrain axis 0 of ``x`` to be sharded over the active compute mesh
+    (no-op when none is active — single-device paths are unchanged)."""
+    mesh = _COMPUTE_MESH[0]
+    if mesh is None:
+        return x
+    from jax.sharding import PartitionSpec
+    sh = NamedSharding(mesh, PartitionSpec(axis_name))
+    return jax.lax.with_sharding_constraint(x, sh)
 
 
 def cast_floating(tree: Any, dtype) -> Any:

@@ -23,7 +23,8 @@ from ..config import parse_metrics
 from ..metrics import iou_compute, iou_init, iou_update
 from ..models.segmentor import Segmentor, slide_inference
 from ..ops.resize import interpolate
-from ..parallel.mesh import make_mesh, replicate, shard_batch
+from ..parallel.mesh import (active_mesh, compute_mesh, make_mesh, replicate,
+                             shard_batch)
 from ..train.optim import make_uda_optimizer
 from ..uda.trainer import (UDAConfig, UDATrainState, init_uda_state,
                            make_uda_train_step)
@@ -240,26 +241,32 @@ class SegTask:
 
     def make_forward(self, out_size: Tuple[int, int]):
         """Jittable eval forward at a fixed geometry
-        (reference segmentation_model.py:304-318).  Cached per geometry so
+        (reference segmentation_model.py:304-318).  Cached per geometry
+        (and per active compute mesh — sharded eval traces differently) so
         repeated validation passes reuse the compiled executable."""
-        if out_size in self._fwd_cache:
-            return self._fwd_cache[out_size]
+        mesh = active_mesh()
+        key = (out_size, None if mesh is None
+               else tuple(d.id for d in mesh.devices.flat))
+        if key in self._fwd_cache:
+            return self._fwd_cache[key]
         seg = self.segmentor
         use_slide = self.use_slide_inference
         crop, stride = self.inference_crop_size, self.inference_stride
 
         def forward(variables, x):
+            from ..parallel.mesh import shard_rows
+
             def whole(c):
                 return seg.apply(variables, c, method=Segmentor.whole)
             if use_slide:
                 logits = slide_inference(whole, x, crop, stride)
             else:
-                logits = whole(x)
+                logits = whole(shard_rows(x))
             return interpolate(logits, out_size, mode="bilinear",
                                align_corners=False)
 
-        self._fwd_cache[out_size] = jax.jit(forward)
-        return self._fwd_cache[out_size]
+        self._fwd_cache[key] = jax.jit(forward)
+        return self._fwd_cache[key]
 
     # ------------------------------------------------------------------ eval
 
@@ -274,58 +281,64 @@ class SegTask:
         results: Dict[str, float] = {}
         loaders = self.datamodule.eval_dataloaders(stage)
         names = self.datamodule.stage_on[stage]
-        for name, loader in zip(names, loaders):
-            # honor the per-dataset metric list from the config (reference
-            # segmentation_model.py:258-281 routes arbitrary metric
-            # collections per eval dataloader; the seg metric universe is
-            # IoU with per-spec init_args)
-            metric_specs = self.metrics_cfg.get(stage, {}).get(
-                name, [("IoU", {})])
-            for mname, margs_ in metric_specs:
-                if mname != "IoU":
-                    raise ValueError(
-                        f"unsupported metric '{mname}' for segmentation "
-                        f"dataset '{name}' (supported: IoU)")
-                nc = margs_.get("num_classes", self.num_classes)
-                if nc != self.num_classes:
-                    raise ValueError(
-                        f"metric num_classes {nc} != model "
-                        f"{self.num_classes}")
-            # one confusion matrix per distinct ignore_index; every IoU
-            # variant computes from the matching accumulator
-            ign_list = sorted({m.get("ignore_index", 255)
-                               for _, m in metric_specs})
-            confmats = {ig: iou_init(self.num_classes) for ig in ign_list}
-            update = jax.jit(iou_update, static_argnames=("ignore_index",))
-            fwd = None
-            for batch in loader:
-                x = jnp.asarray(batch["image"])
-                y = jnp.asarray(batch["semantic"])
-                if fwd is None:
-                    fwd = self.make_forward(tuple(y.shape[1:3]))
-                logits = fwd(variables, x)
-                preds = jnp.argmax(logits, axis=-1)
-                for ig in ign_list:
-                    confmats[ig] = update(confmats[ig], preds, y,
-                                          ignore_index=ig)
-            for i, (mname, margs_) in enumerate(metric_specs):
-                val = float(iou_compute(
-                    confmats[margs_.get("ignore_index", 255)],
-                    margs_.get("average", "macro"),
-                    absent_score=margs_.get("absent_score", 0.0),
-                    over_present_classes=margs_.get(
-                        "over_present_classes", False)))
-                key = f"{stage}_{name}_{mname}"
-                if len(metric_specs) > 1 and i > 0:
-                    key = f"{key}_{i}"
-                results[key] = val
+        # evaluation runs under the data mesh: eval batches and slide/HRDA
+        # crop stacks spread over all devices (SURVEY §5.8); the confusion
+        # matrix reduction psums automatically under pjit
+        with compute_mesh(self.mesh):
+            for name, loader in zip(names, loaders):
+                # honor the per-dataset metric list from the config
+                # (reference segmentation_model.py:258-281 routes arbitrary
+                # metric collections per eval dataloader; the seg metric
+                # universe is IoU with per-spec init_args)
+                metric_specs = self.metrics_cfg.get(stage, {}).get(
+                    name, [("IoU", {})])
+                for mname, margs_ in metric_specs:
+                    if mname != "IoU":
+                        raise ValueError(
+                            f"unsupported metric '{mname}' for segmentation "
+                            f"dataset '{name}' (supported: IoU)")
+                    nc = margs_.get("num_classes", self.num_classes)
+                    if nc != self.num_classes:
+                        raise ValueError(
+                            f"metric num_classes {nc} != model "
+                            f"{self.num_classes}")
+                # one confusion matrix per distinct ignore_index; every IoU
+                # variant computes from the matching accumulator
+                ign_list = sorted({m.get("ignore_index", 255)
+                                   for _, m in metric_specs})
+                confmats = {ig: iou_init(self.num_classes)
+                            for ig in ign_list}
+                update = jax.jit(iou_update,
+                                 static_argnames=("ignore_index",))
+                fwd = None
+                for batch in loader:
+                    x = jnp.asarray(batch["image"])
+                    y = jnp.asarray(batch["semantic"])
+                    if fwd is None:
+                        fwd = self.make_forward(tuple(y.shape[1:3]))
+                    logits = fwd(variables, x)
+                    preds = jnp.argmax(logits, axis=-1)
+                    for ig in ign_list:
+                        confmats[ig] = update(confmats[ig], preds, y,
+                                              ignore_index=ig)
+                for i, (mname, margs_) in enumerate(metric_specs):
+                    val = float(iou_compute(
+                        confmats[margs_.get("ignore_index", 255)],
+                        margs_.get("average", "macro"),
+                        absent_score=margs_.get("absent_score", 0.0),
+                        over_present_classes=margs_.get(
+                            "over_present_classes", False)))
+                    key = f"{stage}_{name}_{mname}"
+                    if len(metric_specs) > 1 and i > 0:
+                        key = f"{key}_{i}"
+                    results[key] = val
         return results
 
     # ------------------------------------------------------------------- fit
 
     def fit(self, workdir: str, seed: int = 0,
             resume: Optional[str] = None) -> Dict[str, float]:
-        from ..data.loader import InfiniteLoader
+        from ..data.loader import DevicePrefetcher, InfiniteLoader
         os.makedirs(workdir, exist_ok=True)
         self.datamodule.setup("fit")
         train_loaders = self.datamodule.train_dataloaders()
@@ -365,12 +378,17 @@ class SegTask:
         from ..utils.tb_logger import TensorBoardLogger
         tb = TensorBoardLogger(os.path.join(workdir, "tb"))
 
+        # double-buffered input pipeline: the next sharded batch is built
+        # and transferred while the current step runs
+        prefetcher = DevicePrefetcher(
+            lambda: self.datamodule.merge_train_batch(
+                [next(it) for it in iters]),
+            lambda b: shard_batch(self.mesh, b))
+
         t0 = time.time()
         start_step = int(state.step)
         for step in range(start_step, max_steps):
-            sub_batches = [next(it) for it in iters]
-            batch = self.datamodule.merge_train_batch(sub_batches)
-            batch = shard_batch(self.mesh, batch)
+            batch = prefetcher.next()
             rng, krun = jax.random.split(rng)
             state, logs = step_fn(state, batch, align_params, krun)
             if (step + 1) % log_every == 0 or step == start_step:
@@ -390,6 +408,7 @@ class SegTask:
                 logf.flush()
                 tb.log_scalars(metrics, step + 1)
                 save_checkpoint(ckpt_dir, jax.device_get(state), step + 1)
+        prefetcher.close()
         save_checkpoint(ckpt_dir, jax.device_get(state), max_steps)
         logf.close()
         tb.close()
@@ -408,19 +427,22 @@ class SegTask:
                      "batch_stats": state.batch_stats}
         loaders = self.datamodule.eval_dataloaders("predict")
         names = self.datamodule.stage_on["predict"]
-        for name, loader, ds in zip(names, loaders,
-                                    self.datamodule.datasets["predict"]):
-            save_dir = os.path.join(workdir, "preds", name)
-            col_dir = os.path.join(workdir, "color_preds", name)
-            os.makedirs(save_dir, exist_ok=True)
-            os.makedirs(col_dir, exist_ok=True)
-            out_size = tuple(ds.orig_dims)
-            fwd = self.make_forward(out_size)
-            for batch in loader:
-                x = jnp.asarray(batch["image"])
-                logits = fwd(variables, x)
-                preds = np.asarray(jnp.argmax(logits, -1)).astype(np.uint8)
-                for pred, fn in zip(preds, batch["filename"]):
-                    from PIL import Image
-                    Image.fromarray(pred).save(os.path.join(save_dir, fn))
-                    colorize_mask(pred).save(os.path.join(col_dir, fn))
+        with compute_mesh(self.mesh):
+            for name, loader, ds in zip(names, loaders,
+                                        self.datamodule.datasets["predict"]):
+                save_dir = os.path.join(workdir, "preds", name)
+                col_dir = os.path.join(workdir, "color_preds", name)
+                os.makedirs(save_dir, exist_ok=True)
+                os.makedirs(col_dir, exist_ok=True)
+                out_size = tuple(ds.orig_dims)
+                fwd = self.make_forward(out_size)
+                for batch in loader:
+                    x = jnp.asarray(batch["image"])
+                    logits = fwd(variables, x)
+                    preds = np.asarray(
+                        jnp.argmax(logits, -1)).astype(np.uint8)
+                    for pred, fn in zip(preds, batch["filename"]):
+                        from PIL import Image
+                        Image.fromarray(pred).save(
+                            os.path.join(save_dir, fn))
+                        colorize_mask(pred).save(os.path.join(col_dir, fn))
