@@ -60,11 +60,17 @@ def main():
 
     img = jnp.asarray(np.random.randn(1, 1080, 1920, 3), jnp.bfloat16)
 
+    def sync(x):
+        # On the axon tunnel block_until_ready returns before execution
+        # completes; a scalar d2h fetch is the only true barrier (the full
+        # logits tensor would add seconds of transfer, a scalar ~45ms RPC).
+        np.asarray(jax.device_get(x[(0,) * x.ndim]))
+
     # warmup / compile — the axon remote-compile service fails transiently
     # (HTTP 500 / env-init races); retry a few times before giving up
     for attempt in range(4):
         try:
-            forward(img).block_until_ready()
+            sync(forward(img))
             break
         except Exception as e:  # jax.errors.JaxRuntimeError and friends
             if attempt == 3:
@@ -79,7 +85,7 @@ def main():
     t0 = time.perf_counter()
     for _ in range(n_iter):
         out = forward(img)
-    out.block_until_ready()
+    sync(out)
     dt = time.perf_counter() - t0
     img_per_s = n_iter / dt
 

@@ -99,6 +99,49 @@ class DataLoader:
             pool.shutdown(wait=False)
 
 
+class DevicePrefetcher:
+    """Double-buffers sharded device batches (SURVEY §7.3, VERDICT r1
+    item 8): a daemon thread assembles the next host batch AND issues its
+    host->device transfer while the current step runs on the device, so the
+    step never waits on input assembly or PCIe/tunnel latency.
+
+    Args:
+      make_batch: () -> host batch (e.g. merge of the per-source iterators).
+      put: host batch -> device batch (e.g. ``shard_batch(mesh, b)``).
+      depth: queue depth (2 = classic double buffering).
+    """
+
+    def __init__(self, make_batch, put, depth: int = 2):
+        self._q: "queue.Queue" = queue.Queue(maxsize=depth)
+        self._stop = threading.Event()
+
+        def produce():
+            while not self._stop.is_set():
+                try:
+                    item = put(make_batch())
+                except BaseException as e:  # surface on next()
+                    self._q.put(("err", e))
+                    return
+                while not self._stop.is_set():
+                    try:
+                        self._q.put(("ok", item), timeout=0.5)
+                        break
+                    except queue.Full:
+                        continue
+
+        self._t = threading.Thread(target=produce, daemon=True)
+        self._t.start()
+
+    def next(self):
+        kind, item = self._q.get()
+        if kind == "err":
+            raise item
+        return item
+
+    def close(self):
+        self._stop.set()
+
+
 class InfiniteLoader:
     """Cycles a DataLoader forever (training uses step counts, not epochs;
     reference trainer `max_steps`, refign_hrda_star.yaml:148-161)."""

@@ -126,7 +126,7 @@ class AlignTask:
 
     def fit(self, workdir: str, seed: int = 0,
             resume: Optional[str] = None) -> Dict[str, float]:
-        from ..data.loader import InfiniteLoader
+        from ..data.loader import DevicePrefetcher, InfiniteLoader
         os.makedirs(workdir, exist_ok=True)
         self.datamodule.setup("fit")
         loaders = self.datamodule.train_dataloaders()
@@ -152,13 +152,18 @@ class AlignTask:
         logf = open(os.path.join(workdir, "metrics.jsonl"), "a")
         from ..utils.tb_logger import TensorBoardLogger
         tb = TensorBoardLogger(os.path.join(workdir, "tb"))
+        def _host_batch():
+            raw = next(it)
+            return {"image_ref": raw["image_ref"],
+                    "image_trg": raw["image"]}
+
+        prefetcher = DevicePrefetcher(
+            _host_batch, lambda b: shard_batch(self.mesh, b))
+
         t0 = time.time()
         start_step = int(state.step)
         for step in range(start_step, max_steps):
-            raw = next(it)
-            batch = {"image_ref": raw["image_ref"],
-                     "image_trg": raw["image"]}
-            batch = shard_batch(self.mesh, batch)
+            batch = prefetcher.next()
             rng, krun = jax.random.split(rng)
             state, logs = step_fn(state, batch, krun)
             if (step + 1) % log_every == 0 or step == start_step:
@@ -178,6 +183,7 @@ class AlignTask:
                 logf.flush()
                 tb.log_scalars(metrics, step + 1)
                 save_checkpoint(ckpt_dir, jax.device_get(state), step + 1)
+        prefetcher.close()
         save_checkpoint(ckpt_dir, jax.device_get(state), max_steps)
         logf.close()
         tb.close()

@@ -32,6 +32,11 @@ def main():
     parser.add_argument("--hrda", action="store_true")
     parser.add_argument("--remat", action="store_true",
                         help="rematerialize MiT blocks (activation ckpt)")
+    parser.add_argument("--transfer", action="store_true",
+                        help="include per-step host->device batch transfer "
+                        "in the timing (without this flag the batch lives "
+                        "on device, modeling the fit loop's double-buffered "
+                        "prefetch steady state)")
     args = parser.parse_args()
 
     import jax
@@ -92,14 +97,23 @@ def main():
                            variables.get("batch_stats", {}), tx)
     step = jax.jit(make_uda_train_step(seg, align_backbone, align_head,
                                        tx, cfg))
+    if not args.transfer:
+        batch = jax.device_put(batch)
+
+    def sync(tree):
+        # axon: block_until_ready returns before execution completes; a
+        # scalar d2h fetch is the only true barrier
+        leaf = jax.tree_util.tree_leaves(tree)[0]
+        np.asarray(jax.device_get(leaf[(0,) * leaf.ndim]))
+
     t0 = time.time()
     state, logs = step(state, batch, align_params, key)
-    jax.block_until_ready(state.params)
+    sync(state.params)
     compile_s = time.time() - t0
     t0 = time.time()
     for _ in range(args.steps):
         state, logs = step(state, batch, align_params, key)
-    jax.block_until_ready(state.params)
+    sync(state.params)
     dt = (time.time() - t0) / args.steps
     print(json.dumps({
         "metric": "uda_train_step_time",

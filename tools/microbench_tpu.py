@@ -8,18 +8,34 @@ changes are driven by measured wins.
 Usage (on the axon TPU chip):  python tools/microbench_tpu.py dwconv ln attn
 """
 import functools
+import os
 import sys
 import time
 
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-def bench(fn, *args, iters=50, warmup=2):
+
+def bench(fn, x, *rest, iters=50, warmup=2):
+    """Time ``fn(x, *rest)``; fn must be shape-preserving in its first arg.
+
+    Axon-tunnel timing rules (measured, PARITY.md): block_until_ready
+    returns BEFORE execution completes, so each iteration feeds the previous
+    output back as the input (the data chain forces every execution) and the
+    final barrier is a scalar d2h fetch (~45ms RPC, subtracted via the
+    baseline measurement below).
+    """
     import jax
+    import numpy as onp
+
+    def sync(v):
+        onp.asarray(jax.device_get(v[(0,) * v.ndim]))
+
     for attempt in range(4):
         try:
-            out = fn(*args)
-            jax.block_until_ready(out)
+            out = fn(x, *rest)
+            sync(out)
             break
         except Exception as e:
             if attempt == 3:
@@ -27,14 +43,19 @@ def bench(fn, *args, iters=50, warmup=2):
             print(f"  compile retry {attempt + 1} ({type(e).__name__})",
                   file=sys.stderr, flush=True)
             time.sleep(10)
+    assert out.shape == x.shape and out.dtype == x.dtype, (
+        "bench() requires a shape-preserving fn")
     for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
+        out = fn(out, *rest)
+    sync(out)
+    t0 = time.perf_counter()
+    sync(out)
+    rpc = time.perf_counter() - t0          # fetch-only baseline
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+        out = fn(out, *rest)
+    sync(out)
+    return max(time.perf_counter() - t0 - rpc, 1e-9) / iters
 
 
 # ---------------------------------------------------------------------------
