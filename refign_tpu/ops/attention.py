@@ -140,15 +140,19 @@ def sra_attention(q: jax.Array, k: jax.Array, v: jax.Array, scale: float,
             # keep the (N, M) logits in bf16 to halve their HBM traffic —
             # profiled at ~27% of HRDA inference time in fp32.  The row sum
             # accumulates in fp32.  Matches the reference's AMP numerics
-            # (fp16 attention logits under torch autocast).
+            # (fp16 attention logits under torch autocast).  Normalization
+            # is folded AFTER the PV matmul — (e@v)/d == (e/d)@v exactly
+            # (d is per-row, the contraction is over M) and skips one full
+            # read+write of the (N, M) matrix.
             logits = jnp.einsum("bnhd,bmhd->bhnm", q, k) * jnp.asarray(
                 scale, jnp.bfloat16)
             m = jnp.max(logits, axis=-1, keepdims=True)
             e = jnp.exp((logits - m).astype(jnp.float32)).astype(
                 jnp.bfloat16)
             denom = jnp.sum(e.astype(jnp.float32), axis=-1, keepdims=True)
-            attn = (e / denom.astype(jnp.bfloat16))
-            return jnp.einsum("bhnm,bmhd->bnhd", attn, v)
+            out = jnp.einsum("bhnm,bmhd->bnhd", e, v,
+                             preferred_element_type=jnp.float32)
+            return (out / denom.transpose(0, 2, 1, 3)).astype(q.dtype)
         attn = jnp.einsum("bnhd,bmhd->bhnm", q, k,
                           preferred_element_type=jnp.float32) * scale
         attn = jax.nn.softmax(attn, axis=-1)
