@@ -179,11 +179,17 @@ def dwconv3x3_gelu(x: jax.Array, w: jax.Array, b: jax.Array,
       b: (C,) bias.
     """
     if use_pallas is None:
-        env = os.environ.get("REFIGN_TPU_DWCONV_PALLAS")  # kill switch / A-B
-        if env == "conv":
+        # Default: grouped-conv lowering.  Measured on the v5e bench
+        # (PARITY.md, r2 A/B with honest sync): conv 4.34 img/s,
+        # XLA shift 4.19, Pallas strip kernel 3.70 — XLA's grouped-conv
+        # path is already the fastest at MiT shapes; the round-1 claim
+        # that shift beat it 4-11x was a timing artifact (block_until_ready
+        # does not sync on the axon tunnel).  Env arms kept for A/B.
+        env = os.environ.get("REFIGN_TPU_DWCONV_PALLAS")
+        if env is None or env == "conv":
             return _dwconv3x3_gelu_conv(x, w, b)
-        if env is not None:
-            use_pallas = env not in ("0", "false", "off")
+        if env in ("0", "false", "off", "shift"):
+            use_pallas = False
         else:
-            use_pallas = _is_tpu_backend()
+            use_pallas = True
     return _fused(bool(use_pallas), bool(interpret), x, w, b)

@@ -1,0 +1,176 @@
+"""Structural ablation of the HRDA 1080p bench pipeline.
+
+Device profiling is unavailable over the axon tunnel, so this measures the
+honest wall cost of each component by replacing it with (near-)identity and
+re-timing the full bench program: the delta vs the unablated run is that
+component's contribution.  Ablations change numerics, never shapes.
+
+Usage: python tools/bench_ablate.py [none ln attn dwconv resize head ...]
+"""
+import functools
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _sync(x):
+    import jax
+    np.asarray(jax.device_get(x[(0,) * x.ndim]))
+
+
+def apply_ablation(which: str):
+    import jax
+    import jax.numpy as jnp
+
+    if which == "none":
+        return
+    if which == "ln":
+        from refign_tpu.nn import layers
+
+        def ln_call(self, x):
+            scale = self.param("scale", __import__("flax").linen.initializers.ones,
+                               (x.shape[-1],), jnp.float32)
+            bias = self.param("bias", __import__("flax").linen.initializers.zeros,
+                              (x.shape[-1],), jnp.float32)
+            return x * scale.astype(x.dtype) + bias.astype(x.dtype)
+
+        layers.TorchLayerNorm.__call__ = ln_call
+        return
+    if which == "attn":
+        from refign_tpu.ops import attention
+
+        def attn_id(q, k, v, scale, use_pallas=None):
+            return q
+
+        attention.sra_attention = attn_id
+        # mix_transformer imported the symbol directly
+        from refign_tpu.models import mix_transformer
+        mix_transformer.sra_attention = attn_id
+        return
+    if which == "dwconv":
+        from refign_tpu.ops import dwconv as dw
+
+        def dw_id(x, w, b, use_pallas=None, interpret=False):
+            return x
+
+        dw.dwconv3x3_gelu = dw_id
+        from refign_tpu.models import mix_transformer
+        mix_transformer.dwconv3x3_gelu = dw_id
+        return
+    if which == "resize":
+        from refign_tpu.ops import resize as rs
+
+        def _axis_resize(x, axis, out):
+            # strided slice (down) / repeat (up) — both vectorized on TPU,
+            # unlike gathers; numerics are wrong, shapes/dtype are right
+            n = x.shape[axis]
+            if out <= n:
+                s = max(n // out, 1)
+                sl = [slice(None)] * x.ndim
+                sl[axis] = slice(0, s * out, s)
+                x = x[tuple(sl)]
+                sl[axis] = slice(0, out)
+                return x[tuple(sl)]
+            r = -(-out // n)
+            x = jnp.repeat(x, r, axis=axis)
+            sl = [slice(None)] * x.ndim
+            sl[axis] = slice(0, out)
+            return x[tuple(sl)]
+
+        def fake_interpolate(x, size, mode="bilinear", align_corners=None,
+                             spatial_axes=(1, 2)):
+            ah, aw = spatial_axes
+            x = _axis_resize(x, ah, int(size[0]))
+            return _axis_resize(x, aw, int(size[1]))
+
+        rs.interpolate = fake_interpolate
+        for modname in ("refign_tpu.models.segmentor",
+                        "refign_tpu.models.heads.base",
+                        "refign_tpu.models.heads.daformer",
+                        "refign_tpu.models.heads.segformer"):
+            mod = __import__(modname, fromlist=["interpolate"])
+            if hasattr(mod, "interpolate"):
+                mod.interpolate = fake_interpolate
+        return
+    if which == "head":
+        from refign_tpu.models.heads import daformer, segformer
+
+        def head_id(self, feats, train=False, deterministic=True):
+            f = feats[0]
+            return jnp.zeros(f.shape[:3] + (self.num_classes,), f.dtype) \
+                + jnp.mean(f, axis=-1, keepdims=True)
+
+        daformer.DAFormerHead.__call__ = head_id
+        segformer.SegFormerHead.__call__ = head_id
+        return
+    raise ValueError(which)
+
+
+def run_bench():
+    import jax
+    import jax.numpy as jnp
+    from refign_tpu.models.heads.daformer import DAFormerHead
+    from refign_tpu.models.heads.segformer import SegFormerHead
+    from refign_tpu.models.mix_transformer import MixVisionTransformer
+    from refign_tpu.models.segmentor import Segmentor, slide_inference
+    from refign_tpu.parallel.mesh import cast_floating
+
+    seg = Segmentor(
+        backbone=MixVisionTransformer(model_type="mit_b5",
+                                      drop_path_rate=0.0),
+        head=DAFormerHead(num_classes=19),
+        scale_attention=SegFormerHead(num_classes=19),
+    )
+    variables = seg.init(jax.random.PRNGKey(0),
+                         jnp.zeros((1, 64, 64, 3), jnp.float32),
+                         method=Segmentor.hrda_eval)
+    variables = {"params": cast_floating(variables["params"], jnp.bfloat16),
+                 "batch_stats": variables["batch_stats"]}
+
+    from refign_tpu.ops.resize import interpolate
+
+    def whole(crops):
+        logits = seg.apply(variables, crops, method=Segmentor.hrda_eval)
+        return interpolate(logits, crops.shape[1:3], mode="bilinear",
+                           align_corners=False)
+
+    @jax.jit
+    def forward(img):
+        return slide_inference(whole, img, (1080, 1080), (420, 420))
+
+    img = jnp.asarray(np.random.randn(1, 1080, 1920, 3), jnp.bfloat16)
+    for attempt in range(4):
+        try:
+            _sync(forward(img))
+            break
+        except Exception as e:
+            if attempt == 3:
+                raise
+            print(f"  compile retry ({type(e).__name__})", file=sys.stderr,
+                  flush=True)
+            time.sleep(10)
+    n = 10
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = forward(img)
+    _sync(out)
+    return (time.perf_counter() - t0) / n
+
+
+def main():
+    which = sys.argv[1] if len(sys.argv) > 1 else "none"
+    import refign_tpu  # noqa: F401
+    apply_ablation(which)
+    dt = run_bench()
+    print(json.dumps({"ablate": which, "ms_per_image": round(dt * 1e3, 1)}),
+          flush=True)
+
+
+if __name__ == "__main__":
+    import jax.numpy as jnp  # noqa: F401  (used in ablation closures)
+    main()
