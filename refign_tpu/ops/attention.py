@@ -2,25 +2,32 @@
 
 MiT's SRA attention (reference models/backbones/mix_transformer.py:137-164)
 has a LARGE query count (up to ~32k tokens per crop) but a SMALL key/value
-count (spatially reduced by sr_ratio 8/4/2/1, e.g. 17^2=289 keys).  The XLA
-path materializes the (N, M) attention matrix in HBM twice (logits + probs);
-this kernel keeps K/V and the query block VMEM-resident and fuses
-qk^T -> softmax -> @v, so the attention matrix never leaves VMEM — a
-flash-attention specialization for the tiny-KV regime (no online softmax
-needed because all M keys fit at once).
+count (spatially reduced by sr_ratio 8/4/2/1 — always ~17^2=289 keys at the
+production crop sizes).  The XLA path materializes the (N, M) attention
+matrix in HBM several times (logits, exp, and the PV read); this kernel
+tiles the query axis over the grid and keeps each (Tq, M) logits tile
+VMEM-resident through qk^T -> softmax -> @v, so the attention matrix never
+touches HBM — a flash-attention specialization for the tiny-KV regime (no
+online softmax needed because all M keys fit at once).
 
-Mosaic notes (this toolchain): k must be passed PRE-TRANSPOSED — only
-(m,k)x(k,n) contractions lower; and partitioning the token axis across grid
-programs mis-compiles ("Bad lhs type"), so the grid is over batch only and
-query tiles are looped *inside* the kernel with `pl.ds` slices.  A VMEM
-budget guard falls back to the XLA path for very long sequences.
+Mosaic notes (axon v5e toolchain, re-verified round 2 with
+tools/attn_kernel_lab.py): bf16 matmul operands are rejected ("Bad lhs
+type") in every formulation tried, but the SAME kernel with operands cast
+to fp32 before the dot compiles and runs 4x faster than the einsum path at
+production shapes (attention is HBM-bound; fp32 MXU throughput is not the
+bottleneck, and input traffic stays bf16).  Softmax/logits are therefore
+full fp32 — closer to the fp32 reference than the bf16-logit einsum path.
 
-Interface is channel-last: q (B, N, D), k/v (B, M, D) per head (callers fold
-the head axis into B).  fp32 logits/softmax, bf16 MXU matmuls.
+Interface is channel-last: q (B, N, D), k/v (B, M, D) per head (callers
+fold the head axis into B).  Backward runs through the numerically-matching
+fp32 einsum formulation via custom_vjp (Pallas kernels have no autodiff).
+
+A/B env switch: REFIGN_TPU_ATTN_PALLAS=0 forces the einsum path.
 """
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -28,34 +35,26 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
 DEFAULT_Q_TILE = 512
-# q + out blocks must fit VMEM alongside kv and the logits tile
-_VMEM_BUDGET_BYTES = 12 * 1024 * 1024
+# kv + logits tiles must fit VMEM; M beyond this falls back to einsum
+_MAX_KV = 4096
 
 
-def _make_kernel(q_tile: int, n_tiles: int, m_real: int):
+def _is_tpu_backend() -> bool:
+    # the axon tunnel platform reports "axon", not "tpu"
+    return jax.default_backend() not in ("cpu", "gpu", "cuda", "rocm")
+
+
+def _make_kernel(m_real: int, m_pad: int):
     def kernel(q_ref, kt_ref, v_ref, o_ref):
-        kt = kt_ref[...]               # (D, Mp)
-        v = v_ref[...]                 # (Mp, D)
-        m_pad = kt.shape[-1]
+        q = q_ref[0].astype(jnp.float32)          # (Tq, D), pre-scaled
+        kt = kt_ref[0].astype(jnp.float32)        # (D, Mp)
+        logits = jnp.dot(q, kt)
         if m_pad != m_real:
-            col = jax.lax.broadcasted_iota(jnp.int32, (q_tile, m_pad), 1)
-            pad_mask = col >= m_real
-
-        def body(i, _):
-            # alignment hint: without it Mosaic rejects the dynamically
-            # sliced lhs ("Bad lhs type")
-            idx = pl.multiple_of(i * q_tile, q_tile)
-            q = q_ref[pl.ds(idx, q_tile), :]                  # (Tq, D)
-            logits = jnp.dot(q, kt, preferred_element_type=jnp.float32)
-            if m_pad != m_real:
-                logits = jnp.where(pad_mask, -jnp.inf, logits)
-            probs = jax.nn.softmax(logits, axis=-1)
-            out = jnp.dot(probs.astype(v.dtype), v,
-                          preferred_element_type=jnp.float32)
-            o_ref[pl.ds(idx, q_tile), :] = out.astype(o_ref.dtype)
-            return 0
-
-        jax.lax.fori_loop(0, n_tiles, body, 0)
+            col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+            logits = jnp.where(col >= m_real, -jnp.inf, logits)
+        probs = jax.nn.softmax(logits, axis=-1)
+        o_ref[0] = jnp.dot(probs, v_ref[0].astype(jnp.float32)
+                           ).astype(o_ref.dtype)
 
     return kernel
 
@@ -64,13 +63,7 @@ def _make_kernel(q_tile: int, n_tiles: int, m_real: int):
 def fused_small_kv_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                              q_tile: int = DEFAULT_Q_TILE,
                              interpret: bool = False) -> jax.Array:
-    """softmax(q k^T) v with K/V and the query block VMEM-resident.
-
-    Operands are flattened to 2D before the pallas_call: on this toolchain
-    XLA picks custom-call operand layouts for 3D operands that Mosaic then
-    rejects ("Bad lhs type"); 2D operands with full-width blocks are
-    layout-unambiguous.  M is padded to a sublane multiple with a -inf
-    softmax mask.
+    """softmax(q k^T) v with the attention matrix VMEM-resident.
 
     Args:
       q: (B, N, D) pre-scaled queries (multiply by scale before calling).
@@ -79,86 +72,105 @@ def fused_small_kv_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     """
     B, N, D = q.shape
     M = k.shape[1]
+    q_tile = min(q_tile, -(-N // 128) * 128)
     n_pad = (-N) % q_tile
     if n_pad:
         q = jnp.pad(q, ((0, 0), (0, n_pad), (0, 0)))
     Np = q.shape[1]
-    n_tiles = Np // q_tile
     m_pad = (-M) % 8
     if m_pad:
         k = jnp.pad(k, ((0, 0), (0, m_pad), (0, 0)))
         v = jnp.pad(v, ((0, 0), (0, m_pad), (0, 0)))
     Mp = k.shape[1]
-    kt2 = k.transpose(0, 2, 1).reshape(B * D, Mp)
-    q2 = q.reshape(B * Np, D)
-    v2 = v.reshape(B * Mp, D)
+    kt = k.transpose(0, 2, 1)
     out = pl.pallas_call(
-        _make_kernel(q_tile, n_tiles, M),
-        out_shape=jax.ShapeDtypeStruct((B * Np, D), q.dtype),
-        grid=(B,),
+        _make_kernel(M, Mp),
+        out_shape=jax.ShapeDtypeStruct((B, Np, D), q.dtype),
+        grid=(B, Np // q_tile),
         in_specs=[
-            pl.BlockSpec((Np, D), lambda b: (b, 0)),
-            pl.BlockSpec((D, Mp), lambda b: (b, 0)),
-            pl.BlockSpec((Mp, D), lambda b: (b, 0)),
+            pl.BlockSpec((1, q_tile, D), lambda b, t: (b, t, 0)),
+            pl.BlockSpec((1, D, Mp), lambda b, t: (b, 0, 0)),
+            pl.BlockSpec((1, Mp, D), lambda b, t: (b, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((Np, D), lambda b: (b, 0)),
+        out_specs=pl.BlockSpec((1, q_tile, D), lambda b, t: (b, t, 0)),
         interpret=interpret,
-    )(q2, kt2, v2)
-    out = out.reshape(B, Np, D)
-    if n_pad:
-        out = out[:, :N]
-    return out
+    )(q, kt, v)
+    return out[:, :N] if n_pad else out
 
 
-def _vmem_fits(N: int, M: int, D: int, itemsize: int,
-               q_tile: int = DEFAULT_Q_TILE) -> bool:
-    Np = N + ((-N) % q_tile)
-    need = (2 * Np * D * itemsize          # q block + out block
-            + 2 * M * D * itemsize         # kt + v
-            + 2 * q_tile * M * 4)          # logits + probs tile (fp32)
-    return need <= _VMEM_BUDGET_BYTES
+def _attn_einsum_fp32(q, k, v, scale):
+    """fp32-softmax einsum formulation — numerics of the fused kernel; also
+    its backward (via jax.vjp) and the non-bf16 production path."""
+    attn = jnp.einsum("bnhd,bmhd->bhnm", q, k,
+                      preferred_element_type=jnp.float32) * scale
+    attn = jax.nn.softmax(attn, axis=-1)
+    out = jnp.einsum("bhnm,bmhd->bnhd", attn.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32)
+    return out.astype(q.dtype)
 
 
-def sra_attention(q: jax.Array, k: jax.Array, v: jax.Array, scale: float,
-                  use_pallas: Optional[bool] = None) -> jax.Array:
-    """Multi-head wrapper: q (B, N, H, D), k/v (B, M, H, D) -> (B, N, H, D).
+def _attn_einsum_bf16(q, k, v, scale):
+    """bf16-logit einsum path (AMP-like; halves (N,M) HBM traffic vs fp32).
+    Normalization is folded AFTER the PV matmul — (e@v)/d == (e/d)@v
+    exactly (d is per-row, the contraction is over M) and skips one full
+    read+write of the (N, M) matrix."""
+    logits = jnp.einsum("bnhd,bmhd->bhnm", q, k) * jnp.asarray(
+        scale, jnp.bfloat16)
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    e = jnp.exp((logits - m).astype(jnp.float32)).astype(jnp.bfloat16)
+    denom = jnp.sum(e.astype(jnp.float32), axis=-1, keepdims=True)
+    out = jnp.einsum("bhnm,bmhd->bnhd", e, v,
+                     preferred_element_type=jnp.float32)
+    return (out / denom.transpose(0, 2, 1, 3)).astype(q.dtype)
 
-    Chooses the fused Pallas kernel on TPU (when the query block fits VMEM)
-    and the einsum path elsewhere (or per ``use_pallas``).
-    """
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _attn_fused(q, k, v, scale, interpret=False):
     B, N, H, D = q.shape
     M = k.shape[1]
-    if use_pallas is None:
-        # Default OFF: the axon v5e toolchain's Mosaic rejects this kernel's
-        # bf16 matmuls ("Bad lhs type") in several configurations (3D blocks
-        # under jit; 2D blocks even eagerly) while minimal equivalents pass —
-        # a compiler bug, not a kernel bug (the kernel is verified in
-        # interpret mode).  Flip on once the toolchain updates.
-        use_pallas = False
-    if not use_pallas:
-        if q.dtype == jnp.bfloat16:
-            # keep the (N, M) logits in bf16 to halve their HBM traffic —
-            # profiled at ~27% of HRDA inference time in fp32.  The row sum
-            # accumulates in fp32.  Matches the reference's AMP numerics
-            # (fp16 attention logits under torch autocast).  Normalization
-            # is folded AFTER the PV matmul — (e@v)/d == (e/d)@v exactly
-            # (d is per-row, the contraction is over M) and skips one full
-            # read+write of the (N, M) matrix.
-            logits = jnp.einsum("bnhd,bmhd->bhnm", q, k) * jnp.asarray(
-                scale, jnp.bfloat16)
-            m = jnp.max(logits, axis=-1, keepdims=True)
-            e = jnp.exp((logits - m).astype(jnp.float32)).astype(
-                jnp.bfloat16)
-            denom = jnp.sum(e.astype(jnp.float32), axis=-1, keepdims=True)
-            out = jnp.einsum("bhnm,bmhd->bnhd", e, v,
-                             preferred_element_type=jnp.float32)
-            return (out / denom.transpose(0, 2, 1, 3)).astype(q.dtype)
-        attn = jnp.einsum("bnhd,bmhd->bhnm", q, k,
-                          preferred_element_type=jnp.float32) * scale
-        attn = jax.nn.softmax(attn, axis=-1)
-        return jnp.einsum("bhnm,bmhd->bnhd", attn.astype(v.dtype), v)
     qf = (q * scale).transpose(0, 2, 1, 3).reshape(B * H, N, D)
     kf = k.transpose(0, 2, 1, 3).reshape(B * H, M, D)
     vf = v.transpose(0, 2, 1, 3).reshape(B * H, M, D)
-    out = fused_small_kv_attention(qf, kf, vf)
+    out = fused_small_kv_attention(qf, kf, vf, interpret=interpret)
     return out.reshape(B, H, N, D).transpose(0, 2, 1, 3)
+
+
+def _attn_fused_fwd(q, k, v, scale, interpret):
+    return _attn_fused(q, k, v, scale, interpret), (q, k, v)
+
+
+def _attn_fused_bwd(scale, interpret, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(lambda q, k, v: _attn_einsum_fp32(q, k, v, scale),
+                     q, k, v)
+    return vjp(g)
+
+
+_attn_fused.defvjp(_attn_fused_fwd, _attn_fused_bwd)
+
+
+def sra_attention(q: jax.Array, k: jax.Array, v: jax.Array, scale: float,
+                  use_pallas: Optional[bool] = None,
+                  interpret: bool = False) -> jax.Array:
+    """Multi-head wrapper: q (B, N, H, D), k/v (B, M, H, D) -> (B, N, H, D).
+
+    Chooses the fused Pallas kernel on TPU (when KV fits VMEM) and the
+    einsum path elsewhere (or per ``use_pallas`` / REFIGN_TPU_ATTN_PALLAS).
+    """
+    M = k.shape[1]
+    if use_pallas is None:
+        # Default: einsum.  Honest per-shape timing on the axon v5e
+        # (tools/attn_kernel_lab.py, PARITY.md r2): the einsum path beats
+        # every Mosaic-compilable kernel variant ~2x at all four MiT
+        # production shapes, because Mosaic rejects bf16 matmul operands
+        # ("Bad lhs type") and the fp32-contraction workaround pays the
+        # fp32 MXU rate.  Flip REFIGN_TPU_ATTN_PALLAS=1 to A/B the kernel
+        # when the toolchain updates.
+        env = os.environ.get("REFIGN_TPU_ATTN_PALLAS")
+        use_pallas = (env is not None
+                      and env not in ("0", "false", "off"))
+    if use_pallas and M <= _MAX_KV:
+        return _attn_fused(q, k, v, scale, interpret)
+    if q.dtype == jnp.bfloat16:
+        return _attn_einsum_bf16(q, k, v, scale)
+    return _attn_einsum_fp32(q, k, v, scale)

@@ -142,6 +142,110 @@ def variant_fp32_contract(q, k, v, q_tile=512):
     return out[:, :N] if n_pad else out
 
 
+def variant_batch_grid_fp32(q, k, v, q_tile=512):
+    """V4: grid over batch only, q tiles looped in-kernel with pl.ds
+    (amortizes per-program overhead), fp32 contractions."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    B, N, D = q.shape
+    M = k.shape[1]
+    n_pad = (-N) % q_tile
+    if n_pad:
+        q = jnp.pad(q, ((0, 0), (0, n_pad), (0, 0)))
+    Np = q.shape[1]
+    n_tiles = Np // q_tile
+    m_pad = (-M) % 8
+    if m_pad:
+        k = jnp.pad(k, ((0, 0), (0, m_pad), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, m_pad), (0, 0)))
+    Mp = k.shape[1]
+    kt = k.transpose(0, 2, 1)
+
+    def kernel(q_ref, kt_ref, v_ref, o_ref):
+        kt_b = kt_ref[0].astype(jnp.float32)
+        v_b = v_ref[0].astype(jnp.float32)
+
+        def body(i, _):
+            idx = pl.multiple_of(i * q_tile, q_tile)
+            qb = q_ref[0, pl.ds(idx, q_tile), :].astype(jnp.float32)
+            logits = jnp.dot(qb, kt_b)
+            if m_pad:
+                col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+                logits = jnp.where(col >= M, -jnp.inf, logits)
+            probs = jax.nn.softmax(logits, axis=-1)
+            o_ref[0, pl.ds(idx, q_tile), :] = jnp.dot(
+                probs, v_b).astype(o_ref.dtype)
+            return 0
+
+        jax.lax.fori_loop(0, n_tiles, body, 0)
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, Np, D), q.dtype),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, Np, D), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, D, Mp), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, Mp, D), lambda b: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, Np, D), lambda b: (b, 0, 0)),
+    )(q, kt, v)
+    return out[:, :N] if n_pad else out
+
+
+def variant_bf16_dpad(q, k, v, q_tile=512):
+    """V5: bf16 matmuls with the contraction dims zero-padded to 128
+    (testing whether Mosaic's bf16 rejection is a K<128 constraint).
+    Logits are unchanged (zero channels contribute nothing)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    B, N, D = q.shape
+    M = k.shape[1]
+    Dp = 128
+    q = jnp.pad(q, ((0, 0), (0, 0), (0, Dp - D)))
+    k = jnp.pad(k, ((0, 0), (0, 0), (0, Dp - D)))
+    v = jnp.pad(v, ((0, 0), (0, 0), (0, Dp - D)))
+    n_pad = (-N) % q_tile
+    if n_pad:
+        q = jnp.pad(q, ((0, 0), (0, n_pad), (0, 0)))
+    Np = q.shape[1]
+    m_pad = (-M) % 128                      # Mp also a lane multiple
+    if m_pad:
+        k = jnp.pad(k, ((0, 0), (0, m_pad), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, m_pad), (0, 0)))
+    Mp = k.shape[1]
+    kt = k.transpose(0, 2, 1)
+
+    def kernel(q_ref, kt_ref, v_ref, o_ref):
+        logits = jnp.dot(q_ref[0], kt_ref[0],
+                         preferred_element_type=jnp.float32)
+        if m_pad:
+            col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+            logits = jnp.where(col >= M, -jnp.inf, logits)
+        probs = jax.nn.softmax(logits, axis=-1)
+        o_ref[0] = jnp.dot(probs.astype(v_ref.dtype), v_ref[0],
+                           preferred_element_type=jnp.float32
+                           ).astype(o_ref.dtype)
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, Np, Dp), q.dtype),
+        grid=(B, Np // q_tile),
+        in_specs=[
+            pl.BlockSpec((1, q_tile, Dp), lambda b, t: (b, t, 0)),
+            pl.BlockSpec((1, Dp, Mp), lambda b, t: (b, 0, 0)),
+            pl.BlockSpec((1, Mp, Dp), lambda b, t: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, q_tile, Dp), lambda b, t: (b, t, 0)),
+    )(q, kt, v)
+    out = out[:, :, :D]
+    return out[:, :N] if n_pad else out
+
+
 def einsum_ref(q, k, v):
     import jax.numpy as jnp
     logits = jnp.einsum("bnd,bmd->bnm", q, k)
@@ -167,9 +271,9 @@ def main():
                   (150, 1156, 64, 289), (240, 289, 64, 289)]
 
     variants = [("einsum", jax.jit(einsum_ref)),
-                ("v0_roundtrip", jax.jit(variant_roundtrip)),
-                ("v1_qtile_grid", jax.jit(variant_qtile_grid)),
-                ("v2_fp32", jax.jit(variant_fp32_contract))]
+                ("v5_bf16_dpad_t512", jax.jit(variant_bf16_dpad)),
+                ("v5_bf16_dpad_t2048", jax.jit(functools.partial(
+                    variant_bf16_dpad, q_tile=2048)))]
 
     for (B, N, D, M) in shapes:
         rng = np.random.RandomState(0)

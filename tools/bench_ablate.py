@@ -30,16 +30,33 @@ def apply_ablation(which: str):
     if which == "none":
         return
     if which == "ln":
+        import flax.linen as fnn
+        from flax.linen.module import wrap_method_once
         from refign_tpu.nn import layers
 
         def ln_call(self, x):
-            scale = self.param("scale", __import__("flax").linen.initializers.ones,
+            scale = self.param("scale", fnn.initializers.ones,
                                (x.shape[-1],), jnp.float32)
-            bias = self.param("bias", __import__("flax").linen.initializers.zeros,
+            bias = self.param("bias", fnn.initializers.zeros,
                               (x.shape[-1],), jnp.float32)
             return x * scale.astype(x.dtype) + bias.astype(x.dtype)
 
-        layers.TorchLayerNorm.__call__ = ln_call
+        layers.TorchLayerNorm.__call__ = wrap_method_once(
+            fnn.compact(ln_call))
+        return
+    if which == "gelu":
+        # keep the depthwise conv + bias, drop only the exact-erf GELU
+        from refign_tpu.models import mix_transformer
+        from refign_tpu.ops import dwconv as dw
+
+        def dw_nogelu(x, w, b, use_pallas=None, interpret=False):
+            return jax.lax.conv_general_dilated(
+                x, w, (1, 1), ((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=x.shape[-1]) + b
+
+        dw.dwconv3x3_gelu = dw_nogelu
+        mix_transformer.dwconv3x3_gelu = dw_nogelu
         return
     if which == "attn":
         from refign_tpu.ops import attention
@@ -98,6 +115,7 @@ def apply_ablation(which: str):
                 mod.interpolate = fake_interpolate
         return
     if which == "head":
+        from flax.linen.module import wrap_method_once
         from refign_tpu.models.heads import daformer, segformer
 
         def head_id(self, feats, train=False, deterministic=True):
@@ -105,8 +123,8 @@ def apply_ablation(which: str):
             return jnp.zeros(f.shape[:3] + (self.num_classes,), f.dtype) \
                 + jnp.mean(f, axis=-1, keepdims=True)
 
-        daformer.DAFormerHead.__call__ = head_id
-        segformer.SegFormerHead.__call__ = head_id
+        daformer.DAFormerHead.__call__ = wrap_method_once(head_id)
+        segformer.SegFormerHead.__call__ = wrap_method_once(head_id)
         return
     raise ValueError(which)
 
