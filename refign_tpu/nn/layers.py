@@ -83,7 +83,17 @@ def normal_init(std: float):
 
 
 def gelu(x: jax.Array) -> jax.Array:
-    """Exact erf GELU (torch default)."""
+    """GELU: exact erf in full precision, tanh approximation under bf16.
+
+    XLA's erf lowering costs ~14% of the entire HRDA 1080p bench (ablation
+    231 -> 198.5 ms/image, PARITY.md r2); the tanh approximation's max abs
+    error (~3e-4) is below bf16 resolution (ulp 3.9e-3 at 1.0), so the
+    bf16/AMP compute path uses it — the analog of the reference computing
+    GELU in fp16 under autocast.  fp32 keeps the exact erf (torch default)
+    for reference-golden parity.
+    """
+    if x.dtype == jnp.bfloat16:
+        return jax.nn.gelu(x, approximate=True)
     return jax.nn.gelu(x, approximate=False)
 
 

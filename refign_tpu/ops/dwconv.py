@@ -117,13 +117,13 @@ def _dwconv3x3_gelu_pallas(x: jax.Array, w: jax.Array, b: jax.Array,
 
 def _dwconv3x3_gelu_conv(x: jax.Array, w: jax.Array,
                          b: jax.Array) -> jax.Array:
-    """Plain grouped-conv lowering (the pre-fusion formulation) — kept as an
-    A/B arm selectable via REFIGN_TPU_DWCONV_PALLAS=conv."""
+    """Grouped-conv lowering (the default arm — fastest measured)."""
+    from ..nn.layers import gelu
     y = jax.lax.conv_general_dilated(
         x, w, (1, 1), ((1, 1), (1, 1)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=x.shape[-1])
-    return jax.nn.gelu(y + b, approximate=False)
+    return gelu(y + b)
 
 
 def _dwconv3x3_gelu_xla(x: jax.Array, w: jax.Array,
@@ -131,13 +131,14 @@ def _dwconv3x3_gelu_xla(x: jax.Array, w: jax.Array,
     """Shift-and-add formulation — lets XLA fuse the stencil as elementwise
     ops instead of lowering a grouped conv."""
     B, H, W, C = x.shape
+    from ..nn.layers import gelu
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
     acc = None
     for i in range(3):
         for j in range(3):
             t = xp[:, i:i + H, j:j + W, :] * w[i, j, 0]
             acc = t if acc is None else acc + t
-    return jax.nn.gelu(acc + b, approximate=False)
+    return gelu(acc + b)
 
 
 def _is_tpu_backend() -> bool:

@@ -103,3 +103,22 @@ def test_mixffn_wiring_param_tree_and_output():
         dimension_numbers=("NHWC", "HWIO", "NHWC")) + p["fc2"]["bias"]
     np.testing.assert_allclose(np.asarray(y), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_bf16_gelu_tanh_within_bf16_resolution():
+    """The bf16 path's tanh-GELU stays within ~1 bf16 ulp of the exact-erf
+    GELU everywhere (the fp32 path keeps exact erf — golden parity)."""
+    from refign_tpu.nn.layers import gelu
+    x32 = jnp.linspace(-6.0, 6.0, 4097, dtype=jnp.float32)
+    xb = x32.astype(jnp.bfloat16)
+    # exact erf GELU of the *rounded* input — isolates the tanh-vs-erf
+    # error from the input quantization
+    exact = np.asarray(jax.nn.gelu(xb.astype(jnp.float32),
+                                   approximate=False))
+    approx = np.asarray(gelu(xb).astype(jnp.float32))
+    tol = np.maximum(np.abs(exact) * 0.008, 0.004)
+    assert (np.abs(approx - exact) <= tol).all()
+    # fp32 input must still use the exact erf
+    got32 = np.asarray(gelu(x32))
+    want32 = np.asarray(jax.nn.gelu(x32, approximate=False))
+    np.testing.assert_allclose(got32, want32, rtol=0, atol=1e-7)

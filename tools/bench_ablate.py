@@ -44,6 +44,28 @@ def apply_ablation(which: str):
         layers.TorchLayerNorm.__call__ = wrap_method_once(
             fnn.compact(ln_call))
         return
+    if which == "lnbf16":
+        # shippable candidate: fp32 stats, bf16 apply (y = x*s' + t')
+        import flax.linen as fnn
+        from flax.linen.module import wrap_method_once
+        from refign_tpu.nn import layers
+
+        def ln_bf16(self, x):
+            scale = self.param("scale", fnn.initializers.ones,
+                               (x.shape[-1],), jnp.float32)
+            bias = self.param("bias", fnn.initializers.zeros,
+                              (x.shape[-1],), jnp.float32)
+            m = jnp.mean(x, axis=-1, keepdims=True, dtype=jnp.float32)
+            m2 = jnp.mean(jax.lax.square(x.astype(jnp.float32)), axis=-1,
+                          keepdims=True)
+            r = jax.lax.rsqrt(m2 - jnp.square(m) + self.epsilon)
+            s = (r * scale).astype(x.dtype)
+            t = (bias - m * r * scale).astype(x.dtype)
+            return x * s + t
+
+        layers.TorchLayerNorm.__call__ = wrap_method_once(
+            fnn.compact(ln_bf16))
+        return
     if which == "gelu":
         # keep the depthwise conv + bias, drop only the exact-erf GELU
         from refign_tpu.models import mix_transformer
@@ -57,6 +79,21 @@ def apply_ablation(which: str):
 
         dw.dwconv3x3_gelu = dw_nogelu
         mix_transformer.dwconv3x3_gelu = dw_nogelu
+        return
+    if which == "gelutanh":
+        # tanh-approx GELU (max abs err ~3e-4, below bf16 resolution)
+        from refign_tpu.models import mix_transformer
+        from refign_tpu.ops import dwconv as dw
+
+        def dw_tanh(x, w, b, use_pallas=None, interpret=False):
+            y = jax.lax.conv_general_dilated(
+                x, w, (1, 1), ((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=x.shape[-1])
+            return jax.nn.gelu(y + b, approximate=True)
+
+        dw.dwconv3x3_gelu = dw_tanh
+        mix_transformer.dwconv3x3_gelu = dw_tanh
         return
     if which == "attn":
         from refign_tpu.ops import attention
@@ -126,6 +163,19 @@ def apply_ablation(which: str):
         daformer.DAFormerHead.__call__ = wrap_method_once(head_id)
         segformer.SegFormerHead.__call__ = wrap_method_once(head_id)
         return
+    if which == "ffnmm":
+        # ablate the Mix-FFN fc1/fc2 matmuls: tile C->4C and slice back
+        from flax.linen.module import wrap_method_once
+        from refign_tpu.models import mix_transformer as mt
+
+        def ffn_call(self, x, deterministic=True):
+            h = jnp.tile(x, (1, 1, 1, self.hidden_dim // x.shape[-1]))
+            h = mt.DWConvGELU(self.hidden_dim, name="dwconv")(h)
+            return h[..., :self.out_dim]
+
+        import flax.linen as fnn
+        mt.MixFFN.__call__ = wrap_method_once(fnn.compact(ffn_call))
+        return
     raise ValueError(which)
 
 
@@ -148,7 +198,7 @@ def run_bench():
                          jnp.zeros((1, 64, 64, 3), jnp.float32),
                          method=Segmentor.hrda_eval)
     variables = {"params": cast_floating(variables["params"], jnp.bfloat16),
-                 "batch_stats": variables["batch_stats"]}
+                 "batch_stats": variables.get("batch_stats", {})}
 
     from refign_tpu.ops.resize import interpolate
 
