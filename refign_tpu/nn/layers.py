@@ -102,20 +102,38 @@ def leaky_relu(x: jax.Array, negative_slope: float = 0.1) -> jax.Array:
 
 
 class TorchLayerNorm(nn.Module):
-    """LayerNorm over the last axis with torch-style eps placement."""
+    """LayerNorm over the last axis with torch-style eps placement.
+
+    fp32 inputs use the exact fp32 normalize-then-affine (golden parity).
+    bf16 inputs fold the whole transform into one fp32 FMA
+    (``y = x*s' + t'`` with s' = rsqrt(var+eps)*scale, t' = bias - mean*s'
+    — the algebraic reassociation of (x-m)*r*scale+bias): same math to
+    within one fp32 rounding, but a single apply pass instead of
+    subtract/normalize/affine (bench ablation: 198.5 -> 194.7 ms/image,
+    PARITY.md r2).  The FMA runs fp32, NOT bf16 — a bf16 fold cancels
+    catastrophically where |y| << |x*s'| (measured 18% relative error).
+    """
     epsilon: float = 1e-5
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         dtype = x.dtype
-        x32 = x.astype(jnp.float32)
-        mean = jnp.mean(x32, axis=-1, keepdims=True)
-        var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
-        y = (x32 - mean) * jax.lax.rsqrt(var + self.epsilon)
         scale = self.param("scale", nn.initializers.ones, (x.shape[-1],),
                            jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (x.shape[-1],),
                           jnp.float32)
+        if dtype == jnp.bfloat16:
+            m = jnp.mean(x, axis=-1, keepdims=True, dtype=jnp.float32)
+            m2 = jnp.mean(jax.lax.square(x.astype(jnp.float32)), axis=-1,
+                          keepdims=True)
+            r = jax.lax.rsqrt(m2 - jnp.square(m) + self.epsilon)
+            s = r * scale
+            t = bias - m * r * scale
+            return (x.astype(jnp.float32) * s + t).astype(dtype)
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+        y = (x32 - mean) * jax.lax.rsqrt(var + self.epsilon)
         return (y * scale + bias).astype(dtype)
 
 

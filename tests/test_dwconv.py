@@ -122,3 +122,25 @@ def test_bf16_gelu_tanh_within_bf16_resolution():
     got32 = np.asarray(gelu(x32))
     want32 = np.asarray(jax.nn.gelu(x32, approximate=False))
     np.testing.assert_allclose(got32, want32, rtol=0, atol=1e-7)
+
+
+def test_bf16_layernorm_tracks_fp32():
+    """The bf16 LN formulation (fp32 stats, folded bf16 affine) stays
+    within ~2 bf16 ulps of the fp32 normalize-then-affine output."""
+    from refign_tpu.nn.layers import TorchLayerNorm
+    rng = np.random.RandomState(7)
+    x = (rng.randn(4, 33, 129) * 2 + 1.5).astype(np.float32)
+    ln = TorchLayerNorm(epsilon=1e-6)
+    v = ln.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    # non-trivial affine
+    v = {"params": {"scale": jnp.asarray(rng.rand(129), jnp.float32) + 0.5,
+                    "bias": jnp.asarray(rng.randn(129), jnp.float32)}}
+    xb = jnp.asarray(x, jnp.bfloat16)
+    # fp32 LN of the *rounded* input — isolates the formulation error from
+    # the input quantization
+    want = np.asarray(ln.apply(v, xb.astype(jnp.float32)))
+    got = np.asarray(ln.apply(v, xb).astype(jnp.float32))
+    # fp32 FMA + bf16 output rounding: within ~1 bf16 ulp of the exact
+    # fp32 result plus a small absolute floor for near-zero outputs
+    tol = np.maximum(np.abs(want) * 0.008, 0.004)
+    assert (np.abs(got - want) <= tol).all()

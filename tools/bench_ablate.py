@@ -156,9 +156,11 @@ def apply_ablation(which: str):
         from refign_tpu.models.heads import daformer, segformer
 
         def head_id(self, feats, train=False, deterministic=True):
+            # depends on EVERY feature map, else XLA dead-code-eliminates
+            # the unused backbone stages and the number is meaningless
             f = feats[0]
-            return jnp.zeros(f.shape[:3] + (self.num_classes,), f.dtype) \
-                + jnp.mean(f, axis=-1, keepdims=True)
+            s = sum(jnp.mean(g).astype(f.dtype) for g in feats)
+            return jnp.zeros(f.shape[:3] + (self.num_classes,), f.dtype) + s
 
         daformer.DAFormerHead.__call__ = wrap_method_once(head_id)
         segformer.SegFormerHead.__call__ = wrap_method_once(head_id)

@@ -186,8 +186,83 @@ def bench_attn():
         print(line, flush=True)
 
 
+
+
+# ---------------------------------------------------------------------------
+# warp (grid_sample) + local correlation at UAWarpC production shapes
+# (BASELINE north-star kernels; alignment/refign train + eval path)
+# ---------------------------------------------------------------------------
+
+def bench_feedback(fn, x, *rest, iters=30, warmup=2):
+    """Like bench() but for non-shape-preserving fn: the (scalar) mean of
+    each output is fed back into the next input to force every execution."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as onp
+
+    def sync(v):
+        onp.asarray(jax.device_get(v[(0,) * v.ndim]))
+
+    @jax.jit
+    def step(x, *rest):
+        out = fn(x, *rest)
+        return x + jnp.mean(out).astype(x.dtype) * 1e-12
+
+    for attempt in range(4):
+        try:
+            x = step(x, *rest)
+            sync(x)
+            break
+        except Exception as e:
+            if attempt == 3:
+                raise
+            print(f"  compile retry {attempt + 1} ({type(e).__name__})",
+                  file=sys.stderr, flush=True)
+            time.sleep(10)
+    for _ in range(warmup):
+        x = step(x, *rest)
+    sync(x)
+    t0 = time.perf_counter()
+    sync(x)
+    rpc = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        x = step(x, *rest)
+    sync(x)
+    return max(time.perf_counter() - t0 - rpc, 1e-9) / iters
+
+
+def bench_corrwarp():
+    import jax
+    import jax.numpy as jnp
+    from refign_tpu.ops.correlation import local_correlation_relu_l2norm
+    from refign_tpu.ops.warp import warp
+
+    # (B, H, W, C): UAWarpC levels for a 512^2 refign image and the
+    # 520^2 megadepth pretraining crop
+    shapes = [("lvl1 512^2", (2, 128, 128, 256)),
+              ("lvl2 512^2", (2, 64, 64, 512)),
+              ("lvl1 b8", (8, 128, 128, 256))]
+    for name, (B, H, W, C) in shapes:
+        t = jnp.asarray(np.random.randn(B, H, W, C), jnp.float32)
+        s = jnp.asarray(np.random.randn(B, H, W, C), jnp.float32)
+        tc = bench_feedback(
+            lambda t, s: local_correlation_relu_l2norm(t, s, 9), t, s)
+        # traffic floor: read t + read s once, write (B,H,W,81)
+        floor = (2 * B * H * W * C * 4 + B * H * W * 81 * 4) / 819e9
+        print(f"local_corr {name} {t.shape}: {tc * 1e3:.3f}ms "
+              f"(roofline~{floor * 1e3:.3f}ms)", flush=True)
+
+        flow = jnp.asarray(np.random.randn(B, H, W, 2) * 3, jnp.float32)
+        tw = bench_feedback(lambda f, s: warp(s, f), flow, s)
+        floor_w = (2 * B * H * W * C * 4) / 819e9
+        print(f"warp       {name}: {tw * 1e3:.3f}ms "
+              f"(roofline~{floor_w * 1e3:.3f}ms)", flush=True)
+
+
 if __name__ == "__main__":
     import refign_tpu  # noqa: F401
     which = sys.argv[1:] or ["dwconv", "ln", "attn"]
     for w in which:
-        {"dwconv": bench_dwconv, "ln": bench_ln, "attn": bench_attn}[w]()
+        {"dwconv": bench_dwconv, "ln": bench_ln, "attn": bench_attn,
+         "corrwarp": bench_corrwarp}[w]()
