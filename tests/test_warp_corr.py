@@ -123,3 +123,43 @@ def test_global_correlation_matches_torch_reference():
     got = np.asarray(global_correlation_relu_l2norm(s, t))
     got_cf = np.transpose(got, (0, 3, 1, 2))
     np.testing.assert_allclose(got_cf, want, rtol=1e-4, atol=1e-5)
+
+
+def test_local_correlation_pallas_matches_xla():
+    """The Pallas local-correlation kernel (interpret mode on CPU) matches
+    the XLA shift-loop formulation, including the strip-padding edge."""
+    import jax
+    import jax.numpy as jnp
+    from refign_tpu.ops.correlation import (_local_correlation_xla,
+                                            local_correlation)
+    rng = np.random.RandomState(11)
+    for shape in [(2, 16, 16, 32), (1, 13, 10, 8)]:
+        t = jnp.asarray(rng.randn(*shape).astype(np.float32))
+        s = jnp.asarray(rng.randn(*shape).astype(np.float32))
+        got = local_correlation(t, s, 9, use_pallas=True, interpret=True)
+        want = _local_correlation_xla(t, s, 9)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_local_correlation_pallas_vjp_matches_autodiff():
+    import jax
+    import jax.numpy as jnp
+    from refign_tpu.ops.correlation import (_local_correlation_xla,
+                                            local_correlation)
+    rng = np.random.RandomState(12)
+    t = jnp.asarray(rng.randn(1, 8, 9, 16).astype(np.float32))
+    s = jnp.asarray(rng.randn(1, 8, 9, 16).astype(np.float32))
+
+    def loss_fused(t, s):
+        return jnp.sum(jnp.sin(local_correlation(
+            t, s, 5, use_pallas=True, interpret=True)))
+
+    def loss_ref(t, s):
+        return jnp.sum(jnp.sin(_local_correlation_xla(t, s, 5)))
+
+    g1 = jax.grad(loss_fused, argnums=(0, 1))(t, s)
+    g2 = jax.grad(loss_ref, argnums=(0, 1))(t, s)
+    for a, e in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(e),
+                                   rtol=1e-4, atol=1e-5)

@@ -246,12 +246,22 @@ def bench_corrwarp():
     for name, (B, H, W, C) in shapes:
         t = jnp.asarray(np.random.randn(B, H, W, C), jnp.float32)
         s = jnp.asarray(np.random.randn(B, H, W, C), jnp.float32)
+        from refign_tpu.ops.correlation import local_correlation
         tc = bench_feedback(
-            lambda t, s: local_correlation_relu_l2norm(t, s, 9), t, s)
+            lambda t, s: local_correlation(t, s, 9, use_pallas=False),
+            t, s)
         # traffic floor: read t + read s once, write (B,H,W,81)
         floor = (2 * B * H * W * C * 4 + B * H * W * 81 * 4) / 819e9
-        print(f"local_corr {name} {t.shape}: {tc * 1e3:.3f}ms "
-              f"(roofline~{floor * 1e3:.3f}ms)", flush=True)
+        line = (f"local_corr {name} {t.shape}: xla={tc * 1e3:.3f}ms "
+                f"(roofline~{floor * 1e3:.3f}ms)")
+        try:
+            tp = bench_feedback(
+                lambda t, s: local_correlation(t, s, 9, use_pallas=True),
+                t, s)
+            line += f" pallas={tp * 1e3:.3f}ms"
+        except Exception as e:
+            line += f" pallas FAILED: {type(e).__name__}"
+        print(line, flush=True)
 
         flow = jnp.asarray(np.random.randn(B, H, W, 2) * 3, jnp.float32)
         tw = bench_feedback(lambda f, s: warp(s, f), flow, s)
