@@ -155,8 +155,14 @@ def local_correlation(target: jax.Array, source: jax.Array,
         if env is not None:
             use_pallas = env not in ("0", "false", "off")
         else:
-            use_pallas = jax.default_backend() not in ("cpu", "gpu", "cuda",
-                                                       "rocm")
+            # respect an active `jax.default_device(cpu)` (e.g. host-side
+            # parameter init) — jax.default_backend() ignores it
+            host = ("cpu", "gpu", "cuda", "rocm")
+            dev = getattr(jax.config, "jax_default_device", None)
+            if dev is not None:
+                use_pallas = dev.platform not in host
+            else:
+                use_pallas = jax.default_backend() not in host
     if use_pallas:
         return _local_correlation_fused(target, source, patch_size,
                                         interpret)
