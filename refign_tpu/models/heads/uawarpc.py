@@ -119,12 +119,20 @@ class UAWarpCHead(nn.Module):
         # ---- level 4: 16x16 global correlation -> mapping ----
         h4, w4 = c14.shape[1:3]
         assert (h4, w4) == (16, 16), (h4, w4)
-        corr4 = global_correlation_relu_l2norm(c24, c14)  # (B,16,16,256)
+        # correlation math runs in fp32 (reference AMP island) but its
+        # CONSUMERS (decoders/uncertainty/refinement) run in the compute
+        # dtype, matching reference autocast (fp16 decoder convs)
+        corr4 = global_correlation_relu_l2norm(c24, c14).astype(
+            c14.dtype)  # (B,16,16,256)
         est_map4, x4 = decoder4(corr4, train=train)
-        flow4_256 = unnormalize_mapping_to_flow(est_map4)
+        # decoder stacks run in the compute dtype; the additive flow /
+        # log-variance chains stay fp32 (flow magnitudes reach the image
+        # size, where bf16 resolution is ~2 px)
+        flow4_256 = unnormalize_mapping_to_flow(
+            est_map4.astype(jnp.float32))
         flow4_256 = _scale_flow(flow4_256, w_256 / w4, h_256 / h4)
         if uncert:
-            u4_256 = um4(corr4, x4, train=train)
+            u4_256 = um4(corr4, x4, train=train).astype(jnp.float32)
             u4_256 = u4_256 + 2 * math.log(w_256 / w4)
 
         # ---- level 3: 32x32 local correlation ----
@@ -136,17 +144,22 @@ class UAWarpCHead(nn.Module):
             up_u4 = interpolate(u4_256, (h3, w3), mode="bilinear",
                                 align_corners=False)
         warp3 = warp(c23, _scale_flow(up_flow4, w3 / w_256, h3 / h_256))
-        corr3 = local_correlation_relu_l2norm(c13, warp3, patch_size=9)
-        inp3 = (jnp.concatenate([corr3, up_flow4, up_u4], axis=-1) if uncert
-                else jnp.concatenate([corr3, up_flow4], axis=-1))
+        corr3 = local_correlation_relu_l2norm(
+            c13, warp3, patch_size=9).astype(c13.dtype)
+        cdt = corr3.dtype
+        inp3 = (jnp.concatenate([corr3, up_flow4.astype(cdt),
+                                 up_u4.astype(cdt)], axis=-1) if uncert
+                else jnp.concatenate([corr3, up_flow4.astype(cdt)],
+                                     axis=-1))
         res_flow3, x3 = decoder3(inp3, train=train)
         if self.refinement_at_adaptive_res:
             res_flow3 = res_flow3 + RefinementModule(
                 batch_norm=self.batch_norm, bn_axis_name=self.bn_axis_name,
                 name="refinement_module_adaptive")(x3, train=train)
-        flow3 = res_flow3 + up_flow4
+        flow3 = res_flow3.astype(jnp.float32) + up_flow4
         if uncert:
-            u3 = um3(corr3, x3, up_u4, up_flow4, train=train)
+            u3 = um3(corr3, x3, up_u4.astype(cdt), up_flow4.astype(cdt),
+                     train=train).astype(jnp.float32)
 
         # rescale level-3 flow (and uncertainty) to original resolution units
         flow3 = _scale_flow(flow3, w_orig / w_256, h_orig / h_256)
@@ -168,14 +181,19 @@ class UAWarpCHead(nn.Module):
                 c23_bis = interpolate(c22, (h_this, w_this), mode="area")
                 c13_bis = interpolate(c12, (h_this, w_this), mode="area")
                 warp3b = warp(c23_bis, up_flow3 * ratio)
-                corr3b = local_correlation_relu_l2norm(c13_bis, warp3b, 9)
-                inp = (jnp.concatenate([corr3b, up_flow3, up_u3], axis=-1)
-                       if uncert
-                       else jnp.concatenate([corr3b, up_flow3], axis=-1))
+                corr3b = local_correlation_relu_l2norm(
+                    c13_bis, warp3b, 9).astype(c13_bis.dtype)
+                inp = (jnp.concatenate(
+                    [corr3b, up_flow3.astype(cdt), up_u3.astype(cdt)],
+                    axis=-1) if uncert
+                       else jnp.concatenate(
+                           [corr3b, up_flow3.astype(cdt)], axis=-1))
                 res_flow3, x3 = decoder2(inp, train=train)
-                flow3 = res_flow3 + up_flow3
+                flow3 = res_flow3.astype(jnp.float32) + up_flow3
                 if uncert:
-                    u3 = um2(corr3b, x3, up_u3, up_flow3, train=train)
+                    u3 = um2(corr3b, x3, up_u3.astype(cdt),
+                             up_flow3.astype(cdt),
+                             train=train).astype(jnp.float32)
 
         # ---- level 2: 1/8 of original ----
         h2, w2 = c12.shape[1:3]
@@ -185,13 +203,17 @@ class UAWarpCHead(nn.Module):
             up_u3 = interpolate(u3, (h2, w2), mode="bilinear",
                                 align_corners=False)
         warp2 = warp(c22, _scale_flow(up_flow3, w2 / w_orig, h2 / h_orig))
-        corr2 = local_correlation_relu_l2norm(c12, warp2, patch_size=9)
-        inp2 = (jnp.concatenate([corr2, up_flow3, up_u3], axis=-1) if uncert
-                else jnp.concatenate([corr2, up_flow3], axis=-1))
+        corr2 = local_correlation_relu_l2norm(
+            c12, warp2, patch_size=9).astype(c12.dtype)
+        inp2 = (jnp.concatenate([corr2, up_flow3.astype(cdt),
+                                 up_u3.astype(cdt)], axis=-1) if uncert
+                else jnp.concatenate([corr2, up_flow3.astype(cdt)],
+                                     axis=-1))
         res_flow2, x2 = decoder2(inp2, train=train)
-        flow2 = res_flow2 + up_flow3
+        flow2 = res_flow2.astype(jnp.float32) + up_flow3
         if uncert:
-            u2 = um2(corr2, x2, up_u3, up_flow3, train=train)
+            u2 = um2(corr2, x2, up_u3.astype(cdt), up_flow3.astype(cdt),
+                     train=train).astype(jnp.float32)
 
         # ---- level 1: 1/4 of original ----
         h1, w1 = c11.shape[1:3]
@@ -204,20 +226,25 @@ class UAWarpCHead(nn.Module):
                                align_corners=False)
         up_feat2 = conv2d(2, kernel_size=1, padding=0, name="reduce")(up_feat2)
         warp1 = warp(c21, _scale_flow(up_flow2, w1 / w_orig, h1 / h_orig))
-        corr1 = local_correlation_relu_l2norm(c11, warp1, patch_size=9)
-        inp1 = (jnp.concatenate([corr1, up_flow2, up_feat2, up_u2], axis=-1)
+        corr1 = local_correlation_relu_l2norm(
+            c11, warp1, patch_size=9).astype(c11.dtype)
+        inp1 = (jnp.concatenate([corr1, up_flow2.astype(cdt),
+                                 up_feat2.astype(cdt),
+                                 up_u2.astype(cdt)], axis=-1)
                 if uncert
-                else jnp.concatenate([corr1, up_flow2, up_feat2], axis=-1))
+                else jnp.concatenate([corr1, up_flow2.astype(cdt),
+                                      up_feat2.astype(cdt)], axis=-1))
         res_flow1, x1 = decoder1(inp1, train=train)
         if self.refinement_at_finest_level:
             res_flow1 = res_flow1 + RefinementModule(
                 batch_norm=self.batch_norm, bn_axis_name=self.bn_axis_name,
                 name="refinement_module_finest")(x1, train=train)
-        flow1 = res_flow1 + up_flow2
+        flow1 = res_flow1.astype(jnp.float32) + up_flow2
 
         flow4 = _scale_flow(flow4_256, w_orig / w_256, h_orig / h_256)
         if uncert:
-            u1 = um1(corr1, x1, up_u2, up_flow2, train=train)
+            u1 = um1(corr1, x1, up_u2.astype(cdt), up_flow2.astype(cdt),
+                     train=train).astype(jnp.float32)
             u4 = u4_256 + diag_ratio_log
             return [(flow4, u4), (flow3, u3), (flow2, u2), (flow1, u1)]
         return [flow4, flow3, flow2, flow1]

@@ -74,13 +74,102 @@ class RefinementModule(nn.Module):
                       name="dc_convs_6")(x)
 
 
+import numpy as np
+
+
+def _patch_conv_tables(ih: int, iw: int, cin: int, cout: int, k: int = 3):
+    """Static index tables mapping a 3x3 VALID conv over little (ih,iw,cin)
+    patch images onto one (ih*iw*cin, oh*ow*cout) channel matmul.  Channel
+    order is (position-major, filter-minor) so consecutive layers chain."""
+    oh, ow = ih - k + 1, iw - k + 1
+    in_idx, out_idx, w_idx = [], [], []
+    for oy in range(oh):
+        for ox in range(ow):
+            for dy in range(k):
+                for dx in range(k):
+                    for ci in range(cin):
+                        for co in range(cout):
+                            in_idx.append(
+                                ((oy + dy) * iw + (ox + dx)) * cin + ci)
+                            out_idx.append((oy * ow + ox) * cout + co)
+                            w_idx.append(((dy * k + dx) * cin + ci) * cout
+                                         + co)
+    return (oh, ow, np.asarray(in_idx), np.asarray(out_idx),
+            np.asarray(w_idx))
+
+
+class _PatchConv(nn.Module):
+    """3x3 VALID conv over B*H*W little (ih,iw,cin) patch images, computed
+    as ONE structured matmul over the channel axis of the (B,H,W,ih*iw*cin)
+    layout.  Identical math to the little-images conv (the weight matrix is
+    scattered from the same (3,3,cin,cout) kernel at trace time), but the
+    contraction runs on the MXU instead of a batch-32k C=1 conv that maps
+    to ~1% of the TPU's lanes.  Param names/shapes match conv2d ('kernel'
+    HWIO, optional 'bias'), so torch checkpoints load unchanged."""
+    ih: int
+    iw: int
+    cin: int
+    cout: int
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array):
+        from ..nn.layers import torch_default_kernel_init
+        B, H, W, C = x.shape
+        assert C == self.ih * self.iw * self.cin
+        kernel = self.param("kernel", torch_default_kernel_init,
+                            (3, 3, self.cin, self.cout), jnp.float32)
+        oh, ow, in_idx, out_idx, w_idx = _patch_conv_tables(
+            self.ih, self.iw, self.cin, self.cout)
+        M = jnp.zeros((C, oh * ow * self.cout), kernel.dtype)
+        M = M.at[in_idx, out_idx].set(kernel.reshape(-1)[w_idx])
+        y = jnp.einsum("bhwi,io->bhwo", x, M.astype(x.dtype),
+                       preferred_element_type=jnp.float32).astype(x.dtype)
+        if self.use_bias:
+            from ..nn.layers import torch_default_bias_init
+            bias = self.param("bias",
+                              torch_default_bias_init(9 * self.cin),
+                              (self.cout,), jnp.float32)
+            y = y + jnp.tile(bias, oh * ow).astype(y.dtype)
+        return y, (oh, ow)
+
+
+class _PatchCBR(nn.Module):
+    """_PatchConv + BatchNorm + LeakyReLU with ConvBNReLU's param tree
+    ('conv'/'bn') and BN statistics over exactly the same sample set as the
+    little-images formulation (every patch position of every pixel)."""
+    ih: int
+    iw: int
+    cin: int
+    cout: int
+    use_norm: bool = True
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False):
+        from ..nn.layers import TorchBatchNorm
+        y, (oh, ow) = _PatchConv(self.ih, self.iw, self.cin, self.cout,
+                                 use_bias=not self.use_norm,
+                                 name="conv")(x)
+        if self.use_norm:
+            B, H, W, _ = y.shape
+            yv = y.reshape(B * H * W * oh * ow, 1, 1, self.cout)
+            yv = TorchBatchNorm(axis_name=self.bn_axis_name, name="bn")(
+                yv, use_running_average=not train)
+            y = yv.reshape(B, H, W, oh * ow * self.cout)
+        return leaky_relu(y), (oh, ow)
+
+
 class UncertaintyModule(nn.Module):
     """Correlation-uncertainty head (reference modules.py:480-561).
 
-    Treats the (B,H,W,S*S) correlation volume as B*H*W little SxS images,
-    convs them down to 6 statistics, concatenates with the decoder feature
-    (+ upsampled previous flow/log-var when ``feed_in_previous``), and
-    predicts a 1-channel log-variance.
+    The reference treats the (B,H,W,S*S) correlation volume as B*H*W
+    little SxS images and convs them down to 6 statistics.  On TPU that
+    batch-B*H*W, C=1 conv layout is pathological (measured: the uncertainty
+    chain dominated the whole alignment forward); for S=9 the same math
+    runs as structured channel matmuls on the (B,H,W,81) layout directly
+    (see _PatchConv).  S=16 (level 4, 16^2 grid — negligible cost) keeps
+    the little-images formulation.
     """
     search_size: int = 9
     feed_in_previous: bool = False
@@ -98,23 +187,27 @@ class UncertaintyModule(nn.Module):
         cbr = functools.partial(ConvBNReLU, use_norm=self.batch_norm,
                                 activation=leaky_relu,
                                 bn_axis_name=self.bn_axis_name)
-        x = corr.reshape(B * H * W, S, S, 1)
         if S == 9:
-            x = cbr(32, kernel_size=3, padding=0, name="conv_0")(x, train=train)
-            x = cbr(32, kernel_size=3, padding=0, name="conv_1")(x, train=train)
-            x = cbr(16, kernel_size=3, padding=0, name="conv_2")(x, train=train)
-            u = conv2d(6, kernel_size=3, padding=0,
-                       name="predict_uncertainty")(x)
+            pcbr = functools.partial(_PatchCBR, use_norm=self.batch_norm,
+                                     bn_axis_name=self.bn_axis_name)
+            x = corr
+            x, (ih, iw) = pcbr(9, 9, 1, 32, name="conv_0")(x, train=train)
+            x, (ih, iw) = pcbr(ih, iw, 32, 32, name="conv_1")(x, train=train)
+            x, (ih, iw) = pcbr(ih, iw, 32, 16, name="conv_2")(x, train=train)
+            u, _ = _PatchConv(ih, iw, 16, 6, use_bias=True,
+                              name="predict_uncertainty")(x)
+            uncert_corr = u
         elif S == 16:
+            x = corr.reshape(B * H * W, S, S, 1)
             x = cbr(32, kernel_size=3, padding=0, name="conv_0")(x, train=train)
             x = max_pool_2x2(x)
             x = cbr(32, kernel_size=3, padding=0, name="conv_1")(x, train=train)
             x = cbr(16, kernel_size=3, padding=0, name="conv_2")(x, train=train)
             u = conv2d(6, kernel_size=3, padding=0,
                        name="predict_uncertainty")(x)
+            uncert_corr = u.reshape(B, H, W, 6)
         else:
             raise ValueError(f"unsupported search_size {S}")
-        uncert_corr = u.reshape(B, H, W, 6)
 
         if self.feed_in_previous:
             x = jnp.concatenate(

@@ -37,6 +37,13 @@ def main():
                         "in the timing (without this flag the batch lives "
                         "on device, modeling the fit loop's double-buffered "
                         "prefetch steady state)")
+    # component ablations (config knobs, not monkeypatches) — for honest
+    # train-step decomposition on hardware
+    parser.add_argument("--no-fdist", action="store_true")
+    parser.add_argument("--no-align", action="store_true",
+                        help="disable alignment+refinement (plain DACS UDA)")
+    parser.add_argument("--no-dacs-aug", action="store_true",
+                        help="disable color jitter + blur in DACS")
     args = parser.parse_args()
 
     import jax
@@ -90,8 +97,13 @@ def main():
         ah = align_head.init(key, feats, feats, f256, f256, (S, S))
     align_params = {"backbone": ab["params"], "head": ah["params"],
                     "head_stats": ah["batch_stats"]}
-    cfg = UDAConfig(use_hrda=args.hrda, use_refign=True, use_align=True,
-                    adapt_to_ref=True, enable_fdist=True)
+    cfg = UDAConfig(use_hrda=args.hrda,
+                    use_refign=not args.no_align,
+                    use_align=not args.no_align,
+                    adapt_to_ref=not args.no_align,
+                    enable_fdist=not args.no_fdist,
+                    color_jitter_p=0.0 if args.no_dacs_aug else 0.2,
+                    blur=not args.no_dacs_aug)
     tx, _ = make_uda_optimizer(variables["params"], 6e-4, 0.01, 40000)
     state = init_uda_state(variables["params"],
                            variables.get("batch_stats", {}), tx)
@@ -119,7 +131,11 @@ def main():
         "metric": "uda_train_step_time",
         "value": round(dt * 1000, 1),
         "unit": "ms/step",
-        "geometry": f"{args.model} {'hrda ' if args.hrda else ''}{'remat ' if args.remat else ''}{S}^2 b{B}",
+        "geometry": (f"{args.model} {'hrda ' if args.hrda else ''}"
+                     f"{'remat ' if args.remat else ''}{S}^2 b{B}"
+                     f"{' -fdist' if args.no_fdist else ''}"
+                     f"{' -align' if args.no_align else ''}"
+                     f"{' -dacsaug' if args.no_dacs_aug else ''}"),
         "compile_s": round(compile_s, 1),
         "hours_for_40k_steps": round(40000 * dt / 3600, 2),
         "loss": float(logs["train_loss_total"]),
