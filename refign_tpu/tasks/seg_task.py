@@ -365,9 +365,13 @@ class SegTask:
         if align_params is not None:
             align_params = replicate(self.mesh, align_params)
 
-        step_fn = jax.jit(make_uda_train_step(
+        # make_uda_train_step internally jits its two programs; the
+        # adapt_to_ref coin is drawn host-side per step (reference
+        # segmentation_model.py:195 python random.uniform)
+        step_fn = make_uda_train_step(
             self.segmentor, self.align_backbone, self.align_head,
-            self.tx, self.uda_cfg))
+            self.tx, self.uda_cfg)
+        coin_rng = np.random.RandomState(seed ^ 0x5EED)
 
         max_steps = int(self.trainer_cfg.get("max_steps", 40000))
         val_every = int(self.trainer_cfg.get("val_every_n_steps",
@@ -390,7 +394,10 @@ class SegTask:
         for step in range(start_step, max_steps):
             batch = prefetcher.next()
             rng, krun = jax.random.split(rng)
-            state, logs = step_fn(state, batch, align_params, krun)
+            coin = (self.uda_cfg.adapt_to_ref
+                    and bool(coin_rng.rand() < 0.5))
+            state, logs = step_fn(state, batch, align_params, krun,
+                                  use_ref_as_target=coin)
             if (step + 1) % log_every == 0 or step == start_step:
                 logs = {k: float(v) for k, v in logs.items()}
                 logs.update(step=step + 1,

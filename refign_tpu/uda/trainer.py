@@ -191,11 +191,12 @@ def make_uda_train_step(segmentor: Segmentor,
         warped, mask = warp(logits_ref, flow, return_mask=True)
         return warped, mask, cert
 
-    def pseudo_probs(state, batch, rng):
+    def pseudo_probs(state, batch, use_ref_as_target: bool):
         """Teacher pseudo-probabilities + chosen target images
-        (reference :194-224)."""
+        (reference :194-224).  ``use_ref_as_target`` is the adapt_to_ref
+        coin, decided host-side like the reference's python
+        ``random.uniform`` (:195) — see make_uda_train_step."""
         images_trg = batch["image_trg"]
-        k_coin, k_rest = jax.random.split(rng)
 
         def refign_branch(images_trg):
             images_ref = batch["image_ref"]
@@ -219,37 +220,32 @@ def make_uda_train_step(segmentor: Segmentor,
                                        state.teacher_batch_stats, images)
             return jax.nn.softmax(m_logits.astype(jnp.float32), axis=-1)
 
-        if cfg.use_refign and cfg.adapt_to_ref:
-            # coin flip swaps the adaptation target to the normal-condition
-            # reference frame and skips align/refine (reference :195-200)
-            coin = jax.random.uniform(k_coin, ()) < 0.5
-            probs = jax.lax.cond(
-                coin,
-                lambda: plain_branch(batch["image_ref"]),
-                lambda: refign_branch(images_trg))
-            images_sel = jnp.where(coin, batch["image_ref"], images_trg)
-            return probs, images_sel
+        if cfg.use_refign and cfg.adapt_to_ref and use_ref_as_target:
+            # the coin swapped the adaptation target to the
+            # normal-condition reference frame; align/refine are skipped
+            return plain_branch(batch["image_ref"]), batch["image_ref"]
         if cfg.use_refign:
             return refign_branch(images_trg), images_trg
         return plain_branch(images_trg), images_trg
 
-    def train_step(state: UDATrainState, batch: Dict[str, jax.Array],
-                   align_params, rng: jax.Array):
-        k_teacher, k_dacs, k_src, k_mix, k_coin = jax.random.split(rng, 5)
+    def prefix_fn(state: UDATrainState, batch: Dict[str, jax.Array],
+                  align_params, rng: jax.Array, use_ref_as_target: bool):
+        """No-grad prologue: EMA refresh, pseudo-labels, DACS mixing."""
+        k_teacher, k_dacs = jax.random.split(rng)
 
         # 1. EMA teacher refresh (reference does it first, :151)
         teacher_params = ema_update(state.teacher_params, state.params,
                                     state.step, cfg.ema_momentum)
         state = state._replace(teacher_params=teacher_params)
 
-        # 2. pseudo-labels (no grad)
+        # 2. pseudo-labels
         batch2 = dict(batch)
         batch2["align_params"] = align_params
-        probs_trg, images_trg = jax.lax.stop_gradient(
-            pseudo_probs(state, batch2, k_teacher))
+        probs_trg, images_trg = pseudo_probs(state, batch2,
+                                             use_ref_as_target)
 
-        # 3. DACS mixing (no grad)
-        mixed_img, mixed_lbl, mixed_weight = jax.lax.stop_gradient(dacs_mix(
+        # 3. DACS mixing
+        mixed_img, mixed_lbl, mixed_weight = dacs_mix(
             k_dacs, images_trg, probs_trg,
             batch["image_src"], batch["semantic_src"],
             pseudo_label_threshold=cfg.pseudo_label_threshold,
@@ -258,8 +254,13 @@ def make_uda_train_step(segmentor: Segmentor,
             blur=cfg.blur,
             psweight_ignore_top=cfg.psweight_ignore_top,
             psweight_ignore_bottom=cfg.psweight_ignore_bottom,
-            num_classes=cfg.num_classes))
+            num_classes=cfg.num_classes)
+        return teacher_params, mixed_img, mixed_lbl, mixed_weight
 
+    def core_fn(state: UDATrainState, batch: Dict[str, jax.Array],
+                mixed_img, mixed_lbl, mixed_weight, rng: jax.Array):
+        """Differentiated section: student passes, fdist, grad, update."""
+        k_src, k_mix = jax.random.split(rng)
         gt_src = batch["semantic_src"]
 
         def loss_fn(params):
@@ -335,5 +336,27 @@ def make_uda_train_step(segmentor: Segmentor,
             batch_stats=new_stats,
             opt_state=new_opt)
         return new_state, logs
+
+    # The step runs as TWO jitted programs, not one: compiling the no-grad
+    # teacher/align/refine/DACS prologue into the same program as
+    # value_and_grad measurably doubles the step on v5e (894 ms monolith vs
+    # ~430 ms split at 512^2 b2 — an XLA scheduling interaction, not memory:
+    # compiled temp is 7.2 GB of 16 GB either way).  The adapt_to_ref coin
+    # is decided HOST-side per step (the reference's python
+    # ``random.uniform(0,1)``, segmentation_model.py:195) and selects one of
+    # two compiled prefix variants, replacing the round-1 lax.cond.
+    jit_prefix = jax.jit(prefix_fn, static_argnames=("use_ref_as_target",))
+    jit_core = jax.jit(core_fn)
+
+    def train_step(state: UDATrainState, batch: Dict[str, jax.Array],
+                   align_params, rng: jax.Array,
+                   use_ref_as_target: bool = False):
+        k_prefix, k_core = jax.random.split(rng)
+        teacher_params, mixed_img, mixed_lbl, mixed_weight = jit_prefix(
+            state, batch, align_params, k_prefix,
+            use_ref_as_target=bool(use_ref_as_target))
+        state = state._replace(teacher_params=teacher_params)
+        return jit_core(state, batch, mixed_img, mixed_lbl, mixed_weight,
+                        k_core)
 
     return train_step

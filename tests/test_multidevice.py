@@ -161,8 +161,7 @@ def test_full_uda_train_step_sharded_equivalence():
     tx, _ = make_uda_optimizer(variables["params"], 6e-4, 0.01, 40000)
     state0 = init_uda_state(variables["params"], variables["batch_stats"],
                             tx)
-    step = jax.jit(make_uda_train_step(seg, align_backbone, align_head,
-                                       tx, cfg))
+    step = make_uda_train_step(seg, align_backbone, align_head, tx, cfg)
 
     s1, logs1 = step(state0, jax.tree_util.tree_map(jnp.asarray, batch),
                      align_params, key)

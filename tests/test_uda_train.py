@@ -50,7 +50,6 @@ def test_uda_train_step_runs(use_hrda):
     state = init_uda_state(variables["params"],
                            variables.get("batch_stats", {}), tx)
     step = make_uda_train_step(seg, None, None, tx, cfg)
-    step = jax.jit(step)
     new_state, logs = step(state, batch, None, key)
     assert np.isfinite(float(logs["train_loss_total"]))
     assert np.isfinite(float(logs["train_loss_src"]))
@@ -104,8 +103,12 @@ def test_uda_train_step_refign_align():
     state = init_uda_state(variables["params"],
                            variables.get("batch_stats", {}), tx,
                            enable_fdist=False)
-    step = jax.jit(make_uda_train_step(seg, align_backbone, align_head,
-                                       tx, cfg))
+    step = make_uda_train_step(seg, align_backbone, align_head, tx, cfg)
     new_state, logs = step(state, batch, align_params, key)
     assert np.isfinite(float(logs["train_loss_total"]))
     assert int(new_state.step) == 1
+
+    # the adapt_to_ref coin (host-side) switches to the plain branch
+    new_state2, logs2 = step(state, batch, align_params, key,
+                             use_ref_as_target=True)
+    assert np.isfinite(float(logs2["train_loss_total"]))

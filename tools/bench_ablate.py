@@ -165,6 +165,56 @@ def apply_ablation(which: str):
         daformer.DAFormerHead.__call__ = wrap_method_once(head_id)
         segformer.SegFormerHead.__call__ = wrap_method_once(head_id)
         return
+    if which == "patchembed":
+        # replace the 7x7/3x3 overlapping patch conv with a 1x1 stride-s
+        # conv (same output shape, no halo) — isolates the halo cost
+        import flax.linen as fnn
+        from flax.linen.module import wrap_method_once
+        from refign_tpu.models import mix_transformer as mt
+        from refign_tpu.nn.layers import TorchLayerNorm, conv2d
+
+        def pe_call(self, x):
+            x = conv2d(self.embed_dim, kernel_size=1, stride=self.stride,
+                       padding=0, name="proj1x1")(x)
+            x = TorchLayerNorm(epsilon=1e-5, name="norm")(x)
+            return x
+
+        mt.OverlapPatchEmbed.__call__ = wrap_method_once(fnn.compact(pe_call))
+        return
+    if which == "srconv":
+        # replace the KV spatial-reduction conv (k=s=sr) with a 1x1
+        # stride-sr conv — isolates the reduction-window cost
+        import flax.linen as fnn
+        from flax.linen.module import wrap_method_once
+        from refign_tpu.models import mix_transformer as mt
+        from refign_tpu.nn.layers import TorchLayerNorm, conv2d
+        from refign_tpu.ops.attention import sra_attention as _sra
+
+        def attn_call(self, x, deterministic=True):
+            import flax.linen as nn
+            B, H, W, C = x.shape
+            nh = self.num_heads
+            hd = C // nh
+            scale = self.qk_scale or hd ** -0.5
+            q = nn.Dense(C, use_bias=self.qkv_bias,
+                         param_dtype=jnp.float32, name="q")(x)
+            q = q.reshape(B, H * W, nh, hd)
+            if self.sr_ratio > 1:
+                kv_in = conv2d(C, kernel_size=1, stride=self.sr_ratio,
+                               padding=0, name="sr1x1")(x)
+                kv_in = TorchLayerNorm(epsilon=1e-5, name="norm")(kv_in)
+                kv_in = kv_in.reshape(B, -1, C)
+            else:
+                kv_in = x.reshape(B, H * W, C)
+            kv = nn.Dense(2 * C, use_bias=self.qkv_bias,
+                          param_dtype=jnp.float32, name="kv")(kv_in)
+            kv = kv.reshape(B, -1, 2, nh, hd)
+            out = _sra(q, kv[:, :, 0], kv[:, :, 1], scale)
+            out = out.reshape(B, H, W, C)
+            return nn.Dense(C, param_dtype=jnp.float32, name="proj")(out)
+
+        mt.SRAttention.__call__ = wrap_method_once(fnn.compact(attn_call))
+        return
     if which == "ffnmm":
         # ablate the Mix-FFN fc1/fc2 matmuls: tile C->4C and slice back
         from flax.linen.module import wrap_method_once
@@ -181,20 +231,37 @@ def apply_ablation(which: str):
     raise ValueError(which)
 
 
-def run_bench():
+def run_bench(tiny_heads: bool = False):
     import jax
     import jax.numpy as jnp
+    from flax import linen as fnn
     from refign_tpu.models.heads.daformer import DAFormerHead
     from refign_tpu.models.heads.segformer import SegFormerHead
     from refign_tpu.models.mix_transformer import MixVisionTransformer
     from refign_tpu.models.segmentor import Segmentor, slide_inference
     from refign_tpu.parallel.mesh import cast_floating
 
+    class TinyHead(fnn.Module):
+        """Shape-correct stand-in depending on all features (anti-DCE)."""
+        num_classes: int = 19
+
+        @fnn.compact
+        def __call__(self, feats, train=False, deterministic=True):
+            f = feats[0]
+            s = sum(jnp.mean(g).astype(f.dtype) for g in feats)
+            return jnp.zeros(f.shape[:3] + (self.num_classes,),
+                             f.dtype) + s
+
+    if tiny_heads:
+        head, att = TinyHead(), TinyHead()
+    else:
+        head = DAFormerHead(num_classes=19)
+        att = SegFormerHead(num_classes=19)
     seg = Segmentor(
         backbone=MixVisionTransformer(model_type="mit_b5",
                                       drop_path_rate=0.0),
-        head=DAFormerHead(num_classes=19),
-        scale_attention=SegFormerHead(num_classes=19),
+        head=head,
+        scale_attention=att,
     )
     variables = seg.init(jax.random.PRNGKey(0),
                          jnp.zeros((1, 64, 64, 3), jnp.float32),
@@ -235,8 +302,11 @@ def run_bench():
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "none"
     import refign_tpu  # noqa: F401
-    apply_ablation(which)
-    dt = run_bench()
+    if which == "head2":
+        dt = run_bench(tiny_heads=True)
+    else:
+        apply_ablation(which)
+        dt = run_bench()
     print(json.dumps({"ablate": which, "ms_per_image": round(dt * 1e3, 1)}),
           flush=True)
 

@@ -96,6 +96,27 @@ def main():
         hv, a, b, c, d, (H, W))[-1])
     t = timeit(f_head, hvars, pyr_trg, pyr_ref, pyr_trg_256, pyr_ref_256)
     print(f"uawarpc head:         {t * 1e3:.2f}ms", flush=True)
+
+    # chained variant — feeds the output back into the input so the tunnel
+    # cannot memoize/elide repeated identical executions
+    @jax.jit
+    def head_step(a0, a, b, c, d):
+        fl, lv = head.apply(hvars, [a0] + a[1:], b, c, d, (H, W))[-1]
+        return a0 + (jnp.mean(fl) * 1e-12).astype(a0.dtype)
+
+    a0 = pyr_trg[0]
+    _sync(head_step(a0, pyr_trg, pyr_ref, pyr_trg_256, pyr_ref_256))
+    a0 = head_step(a0, pyr_trg, pyr_ref, pyr_trg_256, pyr_ref_256)
+    _sync(a0)
+    t0 = time.perf_counter()
+    _sync(a0)
+    rpc = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(10):
+        a0 = head_step(a0, pyr_trg, pyr_ref, pyr_trg_256, pyr_ref_256)
+    _sync(a0)
+    tch = max(time.perf_counter() - t0 - rpc, 1e-9) / 10
+    print(f"uawarpc head chained: {tch * 1e3:.2f}ms", flush=True)
     flow, logvar = f_head(hvars, pyr_trg, pyr_ref, pyr_trg_256, pyr_ref_256)
 
     logits_ref = jnp.asarray(rng.randn(B, H, W, 19), jnp.float32)

@@ -44,6 +44,9 @@ def main():
                         help="disable alignment+refinement (plain DACS UDA)")
     parser.add_argument("--no-dacs-aug", action="store_true",
                         help="disable color jitter + blur in DACS")
+    parser.add_argument("--no-adapt", action="store_true",
+                        help="adapt_to_ref=False (drops the lax.cond; "
+                        "align+refine still run every step)")
     args = parser.parse_args()
 
     import jax
@@ -100,15 +103,14 @@ def main():
     cfg = UDAConfig(use_hrda=args.hrda,
                     use_refign=not args.no_align,
                     use_align=not args.no_align,
-                    adapt_to_ref=not args.no_align,
+                    adapt_to_ref=not (args.no_align or args.no_adapt),
                     enable_fdist=not args.no_fdist,
                     color_jitter_p=0.0 if args.no_dacs_aug else 0.2,
                     blur=not args.no_dacs_aug)
     tx, _ = make_uda_optimizer(variables["params"], 6e-4, 0.01, 40000)
     state = init_uda_state(variables["params"],
                            variables.get("batch_stats", {}), tx)
-    step = jax.jit(make_uda_train_step(seg, align_backbone, align_head,
-                                       tx, cfg))
+    step = make_uda_train_step(seg, align_backbone, align_head, tx, cfg)
     if not args.transfer:
         batch = jax.device_put(batch)
 
@@ -135,7 +137,8 @@ def main():
                      f"{'remat ' if args.remat else ''}{S}^2 b{B}"
                      f"{' -fdist' if args.no_fdist else ''}"
                      f"{' -align' if args.no_align else ''}"
-                     f"{' -dacsaug' if args.no_dacs_aug else ''}"),
+                     f"{' -dacsaug' if args.no_dacs_aug else ''}"
+                     f"{' -adapt' if args.no_adapt else ''}"),
         "compile_s": round(compile_s, 1),
         "hours_for_40k_steps": round(40000 * dt / 3600, 2),
         "loss": float(logs["train_loss_total"]),
