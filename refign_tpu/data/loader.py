@@ -116,30 +116,52 @@ class DevicePrefetcher:
         self._stop = threading.Event()
 
         def produce():
-            while not self._stop.is_set():
-                try:
-                    item = put(make_batch())
-                except BaseException as e:  # surface on next()
-                    self._q.put(("err", e))
-                    return
+            try:
                 while not self._stop.is_set():
                     try:
-                        self._q.put(("ok", item), timeout=0.5)
-                        break
-                    except queue.Full:
-                        continue
+                        item = put(make_batch())
+                    except BaseException as e:  # surface on next()
+                        self._q.put(("err", e))
+                        return
+                    while not self._stop.is_set():
+                        try:
+                            self._q.put(("ok", item), timeout=0.5)
+                            break
+                        except queue.Full:
+                            continue
+            finally:
+                # best-effort sentinel; next() also polls liveness so a full
+                # queue here cannot cause a consumer deadlock
+                try:
+                    self._q.put_nowait(("end", None))
+                except queue.Full:
+                    pass
 
         self._t = threading.Thread(target=produce, daemon=True)
         self._t.start()
 
     def next(self):
-        kind, item = self._q.get()
-        if kind == "err":
-            raise item
-        return item
+        while True:
+            try:
+                kind, item = self._q.get(timeout=0.5)
+            except queue.Empty:
+                if not self._t.is_alive():
+                    raise RuntimeError(
+                        "DevicePrefetcher exhausted: producer thread has "
+                        "exited (closed or errored); no further batches "
+                        "will arrive")
+                continue
+            if kind == "err":
+                raise item
+            if kind == "end":
+                raise RuntimeError(
+                    "DevicePrefetcher exhausted: producer thread has exited "
+                    "(closed or errored); no further batches will arrive")
+            return item
 
     def close(self):
         self._stop.set()
+        self._t.join(timeout=5.0)
 
 
 class InfiniteLoader:

@@ -126,7 +126,10 @@ class TorchLayerNorm(nn.Module):
             m = jnp.mean(x, axis=-1, keepdims=True, dtype=jnp.float32)
             m2 = jnp.mean(jax.lax.square(x.astype(jnp.float32)), axis=-1,
                           keepdims=True)
-            r = jax.lax.rsqrt(m2 - jnp.square(m) + self.epsilon)
+            # E[x^2]-E[x]^2 can go slightly negative in fp32 for rows with
+            # large mean and tiny variance; clamp so rsqrt never sees <eps.
+            r = jax.lax.rsqrt(
+                jnp.maximum(m2 - jnp.square(m), 0.0) + self.epsilon)
             s = r * scale
             t = bias - m * r * scale
             return (x.astype(jnp.float32) * s + t).astype(dtype)

@@ -12,11 +12,12 @@ online softmax needed because all M keys fit at once).
 
 Mosaic notes (axon v5e toolchain, re-verified round 2 with
 tools/attn_kernel_lab.py): bf16 matmul operands are rejected ("Bad lhs
-type") in every formulation tried, but the SAME kernel with operands cast
-to fp32 before the dot compiles and runs 4x faster than the einsum path at
-production shapes (attention is HBM-bound; fp32 MXU throughput is not the
-bottleneck, and input traffic stays bf16).  Softmax/logits are therefore
-full fp32 — closer to the fp32 reference than the bf16-logit einsum path.
+type") in every formulation tried; the SAME kernel with operands cast to
+fp32 before the dot compiles, beats the einsum ~4x at SMALL N, but loses
+~2x at all four MiT production shapes (fp32 MXU rate dominates there) —
+so the einsum path is the default and this kernel ships behind
+REFIGN_TPU_ATTN_PALLAS=1 for future toolchains.  Softmax/logits in the
+kernel are full fp32.
 
 Interface is channel-last: q (B, N, D), k/v (B, M, D) per head (callers
 fold the head axis into B).  Backward runs through the numerically-matching
@@ -37,11 +38,6 @@ from jax.experimental import pallas as pl
 DEFAULT_Q_TILE = 512
 # kv + logits tiles must fit VMEM; M beyond this falls back to einsum
 _MAX_KV = 4096
-
-
-def _is_tpu_backend() -> bool:
-    # the axon tunnel platform reports "axon", not "tpu"
-    return jax.default_backend() not in ("cpu", "gpu", "cuda", "rocm")
 
 
 def _make_kernel(m_real: int, m_pad: int):

@@ -141,11 +141,6 @@ def _dwconv3x3_gelu_xla(x: jax.Array, w: jax.Array,
     return gelu(acc + b)
 
 
-def _is_tpu_backend() -> bool:
-    # the axon tunnel platform reports "axon", not "tpu"
-    return jax.default_backend() not in ("cpu", "gpu", "cuda", "rocm")
-
-
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
 def _fused(use_pallas: bool, interpret: bool,
            x: jax.Array, w: jax.Array, b: jax.Array) -> jax.Array:

@@ -351,6 +351,15 @@ def make_uda_train_step(segmentor: Segmentor,
     def train_step(state: UDATrainState, batch: Dict[str, jax.Array],
                    align_params, rng: jax.Array,
                    use_ref_as_target: bool = False):
+        # jit_prefix/jit_core are traced once and cached WITHOUT the active
+        # compute mesh in their key (unlike SegTask.make_forward); refuse to
+        # trace/run them inside a compute_mesh context so eval-crop sharding
+        # constraints can never be silently baked into the train executable
+        from ..parallel.mesh import active_mesh
+        if active_mesh() is not None:
+            raise RuntimeError(
+                "train_step must not run inside a compute_mesh context "
+                "(its jit cache is not mesh-keyed)")
         k_prefix, k_core = jax.random.split(rng)
         teacher_params, mixed_img, mixed_lbl, mixed_weight = jit_prefix(
             state, batch, align_params, k_prefix,
