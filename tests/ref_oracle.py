@@ -65,6 +65,126 @@ def _stub_torchvision():
     sys.modules["torchvision.transforms.functional"] = tvf
 
 
+def _stub_lightning():
+    """Minimal pytorch_lightning stand-in so the reference's LightningModule
+    task files import and can be *manually* stepped (no Trainer).  The stub
+    implements exactly what training_step touches: optimizers()/
+    lr_schedulers() (returning objects injected by the test), manual_backward
+    -> loss.backward, log -> no-op, global_step -> counter attribute."""
+    if "pytorch_lightning" in sys.modules:
+        return
+    import torch.nn as nn
+
+    pl = types.ModuleType("pytorch_lightning")
+
+    class LightningModule(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.global_step = 0
+            self._optimizers = []
+            self._lr_schedulers = []
+
+        # -- test harness hooks ------------------------------------------
+        def attach_optimizers(self, opts, scheds):
+            self._optimizers = opts
+            self._lr_schedulers = scheds
+
+        # -- Lightning API used by the reference tasks -------------------
+        def optimizers(self):
+            o = self._optimizers
+            return o[0] if len(o) == 1 else o
+
+        def lr_schedulers(self):
+            s = self._lr_schedulers
+            return s[0] if len(s) == 1 else s
+
+        def manual_backward(self, loss, *a, **k):
+            loss.backward(*a, **k)
+
+        def log(self, *a, **k):
+            pass
+
+        @property
+        def device(self):
+            try:
+                return next(self.parameters()).device
+            except StopIteration:
+                import torch
+                return torch.device("cpu")
+
+    pl.LightningModule = LightningModule
+    pl.LightningDataModule = type("LightningDataModule", (), {})
+    pl.Trainer = type("Trainer", (), {})
+    pl.Callback = type("Callback", (), {})
+
+    cli = types.ModuleType("pytorch_lightning.utilities.cli")
+
+    class _Registry:
+        def __call__(self, cls=None, **k):
+            return cls if cls is not None else (lambda c: c)
+
+    def instantiate_class(args, init):
+        """Real jsonargparse-style instantiation (class_path/init_args)."""
+        if not isinstance(args, tuple):
+            args = (args,)
+        kwargs = init.get("init_args", {})
+        module, name = init["class_path"].rsplit(".", 1)
+        if module == "helpers.lr_scheduler":
+            cls = getattr(load_ref_module("helpers.lr_scheduler"), name)
+        else:
+            import importlib
+            cls = getattr(importlib.import_module(module), name)
+        return cls(*args, **kwargs)
+
+    cli.MODEL_REGISTRY = _Registry()
+    cli.DATAMODULE_REGISTRY = _Registry()
+    cli.CALLBACK_REGISTRY = _Registry()
+    cli.LR_SCHEDULER_REGISTRY = _Registry()
+    cli.instantiate_class = instantiate_class
+    utilities = types.ModuleType("pytorch_lightning.utilities")
+    utilities.cli = cli
+    pl.utilities = utilities
+    sys.modules["pytorch_lightning"] = pl
+    sys.modules["pytorch_lightning.utilities"] = utilities
+    sys.modules["pytorch_lightning.utilities.cli"] = cli
+
+
+def _stub_kornia():
+    """kornia is only touched inside the color-jitter/blur branches, which
+    trajectory tests disable; an empty shell satisfies the import."""
+    if "kornia" in sys.modules:
+        return
+    k = types.ModuleType("kornia")
+    k.augmentation = types.ModuleType("kornia.augmentation")
+    k.filters = types.ModuleType("kornia.filters")
+    sys.modules["kornia"] = k
+
+
+def _stub_helpers_metrics():
+    """helpers.metrics imports torchmetrics (absent); the UDA module only
+    needs MyMetricCollection for (empty) metric dicts in these tests."""
+    if "helpers.metrics" in sys.modules:
+        return
+    _ensure_pkg("helpers", f"{REF_ROOT}/helpers")
+    m = types.ModuleType("helpers.metrics")
+
+    class MyMetricCollection(dict):
+        def __init__(self, metrics):
+            super().__init__(metrics)
+
+    m.MyMetricCollection = MyMetricCollection
+    sys.modules["helpers.metrics"] = m
+
+
+def load_ref_uda_model_module():
+    """Load the reference's full DomainAdaptationSegmentationModel module
+    (models/segmentation_model.py) for manual stepping."""
+    _stub_lightning()
+    _stub_kornia()
+    _stub_helpers_metrics()
+    return load_ref_module("models.segmentation_model")
+
+
 def load_ref_module(dotted: str):
     """dotted e.g. 'models.backbones.mix_transformer' relative to REF_ROOT."""
     _ensure_pkg("models", f"{REF_ROOT}/models")
