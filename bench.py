@@ -10,12 +10,13 @@ DAFormer, fused by scale attention, folded with count-mat averaging.
 
 Runs in bfloat16 (fp32 islands preserved inside LN/softmax/interpolate).
 
-``vs_baseline``: measured throughput / (2 x A100_EST) where A100_EST is the
-estimated reference implementation throughput on a single A100 for the same
-pipeline (no published number exists — the reference reports accuracy only,
-SURVEY.md §6).  A100_EST = 2.0 img/s is our standing estimate for the
-torch/Lightning implementation of this ~30x540^2-forwards-per-image
-pipeline; revisit when a measured number becomes available.
+``vs_baseline``: measured throughput / (2 x A100_EST).  A100_EST = 2.0
+img/s is the CONSERVATIVE (least favorable) end of a derived range — see
+BASELINE.md "A100 throughput baseline — derivation": the pipeline is
+8.75 TFLOP/image (XLA cost analysis of this very program), and mapping the
+public SegFormer-B5 V100 throughput anchor to A100+AMP bounds the torch
+reference at 0.9-2.1 img/s.  No published A100 number exists (the
+reference reports accuracy only, SURVEY.md §6).
 """
 import json
 import time
@@ -70,6 +71,9 @@ def main():
     # (HTTP 500 / env-init races); retry a few times before giving up
     for attempt in range(4):
         try:
+            out = forward(img)
+            # also warm the tiny chaining add (compiles are slow on axon)
+            img = img + (out[0, 0, 0, 0] * 0).astype(img.dtype)
             sync(forward(img))
             break
         except Exception as e:  # jax.errors.JaxRuntimeError and friends
@@ -85,6 +89,11 @@ def main():
     t0 = time.perf_counter()
     for _ in range(n_iter):
         out = forward(img)
+        # chain a scalar of the output back into the next input: identical
+        # math (adds 0), but forces every iteration to actually execute
+        # (identical-argument re-dispatches are not reliably timed on axon
+        # — see PARITY.md "Round-2 measurement methodology fix")
+        img = img + (out[0, 0, 0, 0] * 0).astype(img.dtype)
     sync(out)
     dt = time.perf_counter() - t0
     img_per_s = n_iter / dt

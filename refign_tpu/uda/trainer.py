@@ -368,4 +368,8 @@ def make_uda_train_step(segmentor: Segmentor,
         return jit_core(state, batch, mixed_img, mixed_lbl, mixed_weight,
                         k_core)
 
+    # exposed for AOT compile-checking (e.g. __graft_entry__ compiles the
+    # flagship geometry against a sharded mesh without executing it)
+    train_step.jit_prefix = jit_prefix
+    train_step.jit_core = jit_core
     return train_step

@@ -108,10 +108,51 @@ def test_sharded_hrda_eval_matches_single_device():
                                rtol=1e-4, atol=1e-5)
 
 
-def test_full_uda_train_step_sharded_equivalence():
+def test_sharded_slide_eval_matches_single_device_536x960():
+    """Sharded SLIDE evaluation at the scaled-bench geometry (536x960,
+    outer crop 536^2 / stride 212, inner HRDA slide — the 30-crop pipeline
+    of test_full_pipeline_golden): the crop stack spread over 8 devices
+    must reproduce the single-device logits (VERDICT r2 item 6)."""
+    from refign_tpu.models.heads.segformer import SegFormerHead
+    from refign_tpu.models.mix_transformer import MixVisionTransformer
+    from refign_tpu.models.segmentor import Segmentor, slide_inference
+    from refign_tpu.ops.resize import interpolate
+
+    seg = Segmentor(
+        backbone=MixVisionTransformer(model_type="mit_b0",
+                                      drop_path_rate=0.0),
+        head=SegFormerHead(num_classes=19, channels=32),
+        scale_attention=SegFormerHead(num_classes=19, channels=32))
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(1, 536, 960, 3).astype(np.float32))
+    variables = seg.init(jax.random.PRNGKey(0),
+                         jnp.zeros((1, 64, 64, 3), jnp.float32),
+                         method=Segmentor.hrda_eval)
+
+    def forward(variables, img):
+        def whole(crops):
+            logits = seg.apply(variables, crops, method=Segmentor.hrda_eval)
+            return interpolate(logits, crops.shape[1:3], mode="bilinear",
+                               align_corners=False)
+        return slide_inference(whole, img, (536, 536), (212, 212))
+
+    single = jax.jit(forward)(variables, x)
+
+    mesh = make_mesh()
+    with compute_mesh(mesh):
+        sharded = jax.jit(forward)(replicate(mesh, variables), x)
+    np.testing.assert_allclose(np.asarray(single), np.asarray(sharded),
+                               rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("dtype", ["bfloat16", "float32"])
+def test_full_uda_train_step_sharded_equivalence(dtype):
     """The FULL Refign-HRDA train step (EMA, align+refine, DACS, fdist) on
     one device vs sharded over 8 devices: losses and updated params must
-    match (VERDICT r1 item 5 — the CI guard for dryrun_multichip)."""
+    match (VERDICT r1 item 5 — the CI guard for dryrun_multichip).
+
+    The fp32 variant pins rtol 1e-5 on every loss (VERDICT r2 item 8):
+    reduction-order regressions hide inside the bf16 variant's 2e-2."""
     from refign_tpu.models.heads.daformer import DAFormerHead
     from refign_tpu.models.heads.segformer import SegFormerHead
     from refign_tpu.models.heads.uawarpc import UAWarpCHead
@@ -157,7 +198,8 @@ def test_full_uda_train_step_sharded_equivalence():
                     "head_stats": ah_vars["batch_stats"]}
 
     cfg = UDAConfig(use_hrda=True, use_refign=True, use_align=True,
-                    adapt_to_ref=True, enable_fdist=True)
+                    adapt_to_ref=True, enable_fdist=True,
+                    compute_dtype=dtype)
     tx, _ = make_uda_optimizer(variables["params"], 6e-4, 0.01, 40000)
     state0 = init_uda_state(variables["params"], variables["batch_stats"],
                             tx)
@@ -170,16 +212,20 @@ def test_full_uda_train_step_sharded_equivalence():
     s8, logs8 = step(replicate(mesh, state0), shard_batch(mesh, batch),
                      replicate(mesh, align_params), key)
 
+    fp32 = dtype == "float32"
+    loss_rtol, loss_atol = (1e-5, 1e-7) if fp32 else (2e-2, 1e-3)
+    par_rtol, par_atol = (1e-5, 1e-8) if fp32 else (1e-3, 2e-5)
     for k in logs1:
         np.testing.assert_allclose(float(logs1[k]), float(logs8[k]),
-                                   rtol=2e-2, atol=1e-3, err_msg=k)
+                                   rtol=loss_rtol, atol=loss_atol,
+                                   err_msg=k)
     p1 = jax.tree_util.tree_leaves(s1.params)
     p8 = jax.tree_util.tree_leaves(s8.params)
     for a, b in zip(p1, p8):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=1e-3, atol=2e-5)
+                                   rtol=par_rtol, atol=par_atol)
     t1 = jax.tree_util.tree_leaves(s1.teacher_params)
     t8 = jax.tree_util.tree_leaves(s8.teacher_params)
     for a, b in zip(t1, t8):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=1e-3, atol=2e-5)
+                                   rtol=par_rtol, atol=par_atol)
