@@ -105,15 +105,60 @@ def _attn_einsum_fp32(q, k, v, scale):
     return out.astype(q.dtype)
 
 
-def _attn_einsum_bf16(q, k, v, scale):
-    """bf16-logit einsum path (AMP-like; halves (N,M) HBM traffic vs fp32).
-    Normalization is folded AFTER the PV matmul — (e@v)/d == (e/d)@v
-    exactly (d is per-row, the contraction is over M) and skips one full
-    read+write of the (N, M) matrix."""
+def _attn_einsum_bf16_max(q, k, v, scale):
+    """r2 bf16 path (max-subtracted softmax, (N, M) layout) — kept for A/B
+    via REFIGN_TPU_ATTN_SHIFT=0.  Normalization is folded AFTER the PV
+    matmul — (e@v)/d == (e/d)@v exactly (d is per-row, the contraction is
+    over M) and skips one full read+write of the (N, M) matrix."""
     logits = jnp.einsum("bnhd,bmhd->bhnm", q, k) * jnp.asarray(
         scale, jnp.bfloat16)
     m = jnp.max(logits, axis=-1, keepdims=True)
     e = jnp.exp((logits - m).astype(jnp.float32)).astype(jnp.bfloat16)
+    denom = jnp.sum(e.astype(jnp.float32), axis=-1, keepdims=True)
+    out = jnp.einsum("bhnm,bmhd->bnhd", e, v,
+                     preferred_element_type=jnp.float32)
+    return (out / denom.transpose(0, 2, 1, 3)).astype(q.dtype)
+
+
+# Static softmax shift (tools/attn_opt_lab.py, PARITY.md r3): softmax is
+# shift-invariant, so replacing the per-row max with a STATIC constant is
+# mathematically identical while the max REDUCTION PASS over the (N, M)
+# logits matrix — a full extra HBM read of the largest tensor in the
+# block — disappears.  The exponent is clamped to ±80 for hard safety:
+# the upper clamp only engages for logits > C+80 = 100 (LN-bounded MiT
+# logits stay < ~30), and entries at the lower clamp contribute < e^-50
+# relative weight for any plausible row max, i.e. below bf16 resolution
+# of the denominator.  Measured: -30% to -65% per block at the large-N
+# stages (PARITY.md r3 lab table).
+_SHIFT_C = 20.0
+
+
+def _attn_einsum_bf16(q, k, v, scale):
+    """bf16-logit einsum path (AMP-like; halves (N,M) HBM traffic vs fp32)
+    with static-shift softmax and a layout choice that minimizes padded
+    tile bytes: the logits matrix lives in whichever of (N, M) / (M, N)
+    orientation wastes less on the 8-sublane x 128-lane tiling (M = 289
+    pads 33% as lanes but 2% as sublanes at the MiT production shapes)."""
+    if os.environ.get("REFIGN_TPU_ATTN_SHIFT", "1") in ("0", "false", "off"):
+        return _attn_einsum_bf16_max(q, k, v, scale)
+    N = q.shape[1]
+    M = k.shape[1]
+    scale_b = jnp.asarray(scale, jnp.bfloat16)
+
+    def _pad_bytes(rows, cols):
+        return (-(-rows // 8) * 8) * (-(-cols // 128) * 128)
+
+    if _pad_bytes(M, N) < _pad_bytes(N, M):
+        logits = jnp.einsum("bmhd,bnhd->bhmn", k, q) * scale_b    # (B,H,M,N)
+        e = jnp.exp(jnp.clip(logits.astype(jnp.float32) - _SHIFT_C,
+                             -80.0, 80.0)).astype(jnp.bfloat16)
+        denom = jnp.sum(e.astype(jnp.float32), axis=2)            # (B,H,N)
+        out = jnp.einsum("bhmn,bmhd->bnhd", e, v,
+                         preferred_element_type=jnp.float32)
+        return (out / denom.transpose(0, 2, 1)[..., None]).astype(q.dtype)
+    logits = jnp.einsum("bnhd,bmhd->bhnm", q, k) * scale_b        # (B,H,N,M)
+    e = jnp.exp(jnp.clip(logits.astype(jnp.float32) - _SHIFT_C,
+                         -80.0, 80.0)).astype(jnp.bfloat16)
     denom = jnp.sum(e.astype(jnp.float32), axis=-1, keepdims=True)
     out = jnp.einsum("bhnm,bmhd->bnhd", e, v,
                      preferred_element_type=jnp.float32)

@@ -109,3 +109,25 @@ def test_fused_path_large_kv_falls_back():
     v = jnp.asarray(rng.randn(B, M, H, D).astype(np.float32))
     out = sra_attention(q, k, v, 0.1, use_pallas=True)  # would crash if
     assert out.shape == (B, N, H, D)                    # kernel were used
+
+
+def test_static_shift_matches_max_subtraction():
+    """r3 bf16 path (static-shift softmax + padded-bytes layout choice)
+    vs the r2 max-subtracted (N, M) formulation — mathematically identical
+    (softmax shift invariance), so they agree to bf16 rounding, in both
+    layout branches and with large-magnitude logits."""
+    from refign_tpu.ops.attention import (_attn_einsum_bf16,
+                                          _attn_einsum_bf16_max)
+
+    rng = np.random.RandomState(5)
+    scale = 64 ** -0.5
+    # (N<M-ish -> MN layout) and (N>>M -> NM layout); logit scale x5 to
+    # push |logits| toward the LN-bounded extreme.
+    for (N, M, H, mag) in [(300, 289, 2, 1.0), (2000, 49, 1, 1.0),
+                           (300, 289, 1, 5.0)]:
+        q = jnp.asarray(rng.randn(2, N, H, 64) * mag, jnp.bfloat16)
+        k = jnp.asarray(rng.randn(2, M, H, 64) * mag, jnp.bfloat16)
+        v = jnp.asarray(rng.randn(2, M, H, 64), jnp.bfloat16)
+        a = np.asarray(_attn_einsum_bf16(q, k, v, scale), np.float32)
+        b = np.asarray(_attn_einsum_bf16_max(q, k, v, scale), np.float32)
+        np.testing.assert_allclose(a, b, rtol=3e-2, atol=3e-2)
