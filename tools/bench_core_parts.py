@@ -1,0 +1,188 @@
+"""Decompose the UDA train step's differentiated core (r3).
+
+The r3 artifact is 965 ms/step at DAFormer-512^2-b2 with only ~64 ms in
+the no-grad prefix (tools/bench_step_parts.py) — yet the inference bench
+implies a single B5 forward at this size costs ~13 ms, so two fwd+bwd
+passes plus a frozen forward "should" be ~150 ms.  This tool times the
+core's ingredients separately to localize the other ~750 ms:
+
+  fwd_infer     student forward, inference mode (no dropout rngs, no BN
+                mutation) — the bench-equivalent cost
+  fwd_train     student forward exactly as the core runs it (dropout +
+                droppath rngs, mutable batch_stats)
+  grad_src      value_and_grad of the SOURCE pass + CE only
+  grad_full     value_and_grad of the full loss (source + fdist + mixed)
+  adamw         optimizer update alone (precomputed grads)
+  core          the production jit_core program
+
+Chained inputs + scalar d2h sync (axon timing rules, PARITY.md).
+
+Usage: python tools/bench_core_parts.py [--size 512] [--batch 2]
+"""
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _sync(x):
+    import jax
+    np.asarray(jax.device_get(x[(0,) * getattr(x, "ndim", 0)]
+                              if getattr(x, "ndim", 0) else x))
+
+
+def timeit(fn, chain, *args, iters=8):
+    """fn(*args) -> out; chain(args, out) -> new args (forces execution)."""
+    import jax
+    out = fn(*args)
+    jax.block_until_ready(out)
+    args = chain(args, out)
+    out = fn(*args)
+    _sync(jax.tree_util.tree_leaves(out)[0])
+    t0 = time.perf_counter()
+    _sync(jax.tree_util.tree_leaves(out)[0])
+    rpc = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        args = chain(args, out)
+        out = fn(*args)
+    _sync(jax.tree_util.tree_leaves(out)[0])
+    return max(time.perf_counter() - t0 - rpc, 1e-9) / iters * 1e3
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import optax
+    import refign_tpu  # noqa: F401
+    from refign_tpu.models.heads.daformer import DAFormerHead
+    from refign_tpu.models.mix_transformer import MixVisionTransformer
+    from refign_tpu.models.segmentor import Segmentor
+    from refign_tpu.ops.resize import interpolate
+    from refign_tpu.parallel.mesh import cast_floating
+    from refign_tpu.train.optim import make_uda_optimizer
+    from refign_tpu.uda.losses import pixel_weighted_cross_entropy
+    from refign_tpu.uda.trainer import (UDAConfig, init_uda_state,
+                                        make_uda_train_step)
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=512)
+    ap.add_argument("--batch", type=int, default=2)
+    ap.add_argument("--model", default="mit_b5")
+    args = ap.parse_args()
+    B, S = args.batch, args.size
+
+    seg = Segmentor(backbone=MixVisionTransformer(model_type=args.model,
+                                                  drop_path_rate=0.1),
+                    head=DAFormerHead(num_classes=19))
+    key = jax.random.PRNGKey(0)
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.randn(B, S, S, 3), jnp.float32)
+    sem = jnp.asarray(rng.randint(0, 19, size=(B, S, S)))
+
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+    except RuntimeError:
+        cpu = jax.devices()[0]
+    with jax.default_device(cpu):
+        variables = seg.init(key, np.zeros((1, 64, 64, 3), np.float32),
+                             method=Segmentor.logits_and_features)
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+    tx, _ = make_uda_optimizer(params, 6e-4, 0.01, 40000)
+    state = init_uda_state(params, stats, tx, enable_fdist=True)
+    state = jax.device_put(state, jax.devices()[0])
+    cdt = jnp.bfloat16
+
+    def chain_img(a, out):
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        eps = (leaf.reshape(-1)[0] * 0).astype(jnp.float32)
+        return (a[0] + eps,) + a[1:]
+
+    results = {}
+    # NOTE: every big tree (params, stats, grads, opt_state) must be a jit
+    # ARGUMENT, not a closure — closed-over arrays are baked into the HLO
+    # as constants and the ~324MB of B5 weights blows the axon
+    # remote-compile request-body limit (HTTP 413).
+    dparams = state.params
+    dstats = state.batch_stats
+
+    # --- fwd inference mode
+    @jax.jit
+    def fwd_infer(p, st, img):
+        v = {"params": cast_floating(p, cdt), "batch_stats": st}
+        out, _ = seg.apply(v, img.astype(cdt), train=True,
+                           mutable=["batch_stats"], method=Segmentor.whole)
+        return out
+    results["fwd_infer"] = timeit(
+        lambda img: fwd_infer(dparams, dstats, img), chain_img, img)
+
+    # --- fwd training mode (dropout/droppath, mutable stats)
+    @jax.jit
+    def fwd_train(p, st, img):
+        v = {"params": cast_floating(p, cdt), "batch_stats": st}
+        (logits, feats), mut = seg.apply(
+            v, img.astype(cdt), train=True, deterministic=False,
+            rngs={"dropout": key, "droppath": key},
+            mutable=["batch_stats"], method=Segmentor.logits_and_features)
+        return logits
+    results["fwd_train"] = timeit(
+        lambda img: fwd_train(dparams, dstats, img), chain_img, img)
+
+    # --- grad of source CE only
+    @jax.jit
+    def grad_src(p0, st, img):
+        def loss_fn(p):
+            v = {"params": cast_floating(p, cdt), "batch_stats": st}
+            (logits, feats), mut = seg.apply(
+                v, img.astype(cdt), train=True, deterministic=False,
+                rngs={"dropout": key, "droppath": key},
+                mutable=["batch_stats"], method=Segmentor.logits_and_features)
+            logits = interpolate(logits, (S, S), mode="bilinear",
+                                 align_corners=False)
+            return pixel_weighted_cross_entropy(logits, sem)
+        l, g = jax.value_and_grad(loss_fn)(p0)
+        return l
+    results["grad_src"] = timeit(
+        lambda img: grad_src(dparams, dstats, img), chain_img, img)
+
+    # --- full production core (includes mixed pass + fdist + adamw)
+    cfg = UDAConfig(use_refign=False, enable_fdist=True)
+    step_fn = make_uda_train_step(seg, None, None, tx, cfg)
+    mixed_img = img
+    mixed_lbl = sem
+    mixed_w = jnp.ones((B, S, S), jnp.float32)
+    batch = {"image_src": img, "semantic_src": sem, "image_trg": img}
+
+    def core_call(img):
+        b = dict(batch)
+        b["image_src"] = img
+        new_state, logs = step_fn.jit_core(state, b, mixed_img, mixed_lbl,
+                                           mixed_w, key)
+        return logs["train_loss_total"]
+    results["core_full"] = timeit(core_call, chain_img, img)
+
+    # --- adamw update alone (grads = params scaled)
+    grads = jax.tree_util.tree_map(lambda p: p * 1e-3, state.params)
+
+    @jax.jit
+    def opt_only(g, os_, p, img):
+        g2 = jax.tree_util.tree_map(
+            lambda gg: gg + img.reshape(-1)[0] * 0, g)
+        updates, _ = tx.update(g2, os_, p)
+        newp = optax.apply_updates(p, updates)
+        return jax.tree_util.tree_leaves(newp)[0]
+    results["adamw_only"] = timeit(
+        lambda img: opt_only(grads, state.opt_state, dparams, img),
+        chain_img, img)
+
+    for k, v in results.items():
+        print(f"  {k:>12}: {v:8.1f} ms")
+
+
+if __name__ == "__main__":
+    main()
