@@ -166,6 +166,39 @@ def main():
         return logs["train_loss_total"]
     results["core_full"] = timeit(core_call, chain_img, img)
 
+    # --- no-grad prefix program alone (teacher fwd + DACS; no align here)
+    def prefix_call(img):
+        b = dict(batch)
+        b["image_src"] = img
+        out = step_fn.jit_prefix(state, b, None, key,
+                                 use_ref_as_target=False)
+        return out[1]  # mixed_img
+    results["prefix"] = timeit(prefix_call, chain_img, img)
+
+    # --- the production step exactly as the fit loop runs it: prefix +
+    # core + the Python-side state._replace / pytree flatten of the ~2k
+    # leaf state tree each iteration.  full_step - core_full - prefix =
+    # per-step host/pytree/tunnel-dispatch overhead.
+    def full_step(st, img):
+        b = dict(batch)
+        b["image_src"] = img
+        return step_fn(st, b, None, key)
+
+    st = state
+    new_st, logs = full_step(st, img)
+    jax.block_until_ready(logs["train_loss_total"])
+    st = new_st
+    _sync(logs["train_loss_total"])
+    t0 = time.perf_counter()
+    _sync(logs["train_loss_total"])
+    rpc = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(8):
+        st, logs = full_step(st, img)
+    _sync(logs["train_loss_total"])
+    results["full_step"] = max(
+        time.perf_counter() - t0 - rpc, 1e-9) / 8 * 1e3
+
     # --- adamw update alone (grads = params scaled)
     grads = jax.tree_util.tree_map(lambda p: p * 1e-3, state.params)
 
