@@ -73,6 +73,12 @@ def main():
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--batch", type=int, default=2)
     ap.add_argument("--model", default="mit_b5")
+    ap.add_argument("--refign", action="store_true",
+                    help="measure the FULL refign prefix (teacher b2x2 + "
+                    "VGG/UAWarpC align + refine + DACS) instead of the "
+                    "plain-UDA prefix — the real jit_prefix program with "
+                    "weights as arguments, unlike bench_step_parts whose "
+                    "closure-baked constants let XLA specialize")
     args = ap.parse_args()
     B, S = args.batch, args.size
 
@@ -151,12 +157,35 @@ def main():
         lambda img: grad_src(dparams, dstats, img), chain_img, img)
 
     # --- full production core (includes mixed pass + fdist + adamw)
-    cfg = UDAConfig(use_refign=False, enable_fdist=True)
-    step_fn = make_uda_train_step(seg, None, None, tx, cfg)
+    align_backbone = align_head = None
+    align_params = None
+    if args.refign:
+        from refign_tpu.models.heads.uawarpc import UAWarpCHead
+        from refign_tpu.models.vgg import VGG
+        align_backbone = VGG(model_type="vgg16", out_indices=(2, 3, 4))
+        align_head = UAWarpCHead(in_index=(0, 1), estimate_uncertainty=True)
+        with jax.default_device(cpu):
+            ab = align_backbone.init(
+                key, np.zeros((1, 256, 256, 3), np.float32))
+            feats = align_backbone.apply(
+                ab, np.zeros((1, S, S, 3), np.float32),
+                extract_only_indices=[-3, -2])
+            f256 = align_backbone.apply(
+                ab, np.zeros((1, 256, 256, 3), np.float32),
+                extract_only_indices=[-2, -1])
+            ah = align_head.init(key, feats, feats, f256, f256, (S, S))
+        align_params = jax.device_put(
+            {"backbone": ab["params"], "head": ah["params"],
+             "head_stats": ah["batch_stats"]}, jax.devices()[0])
+    cfg = UDAConfig(use_refign=args.refign, use_align=args.refign,
+                    enable_fdist=True)
+    step_fn = make_uda_train_step(seg, align_backbone, align_head, tx, cfg)
     mixed_img = img
     mixed_lbl = sem
     mixed_w = jnp.ones((B, S, S), jnp.float32)
     batch = {"image_src": img, "semantic_src": sem, "image_trg": img}
+    if args.refign:
+        batch["image_ref"] = jnp.asarray(rng.randn(B, S, S, 3), jnp.float32)
 
     def core_call(img):
         b = dict(batch)
@@ -170,7 +199,7 @@ def main():
     def prefix_call(img):
         b = dict(batch)
         b["image_src"] = img
-        out = step_fn.jit_prefix(state, b, None, key,
+        out = step_fn.jit_prefix(state, b, align_params, key,
                                  use_ref_as_target=False)
         return out[1]  # mixed_img
     results["prefix"] = timeit(prefix_call, chain_img, img)
@@ -182,7 +211,7 @@ def main():
     def full_step(st, img):
         b = dict(batch)
         b["image_src"] = img
-        return step_fn(st, b, None, key)
+        return step_fn(st, b, align_params, key)
 
     st = state
     new_st, logs = full_step(st, img)
