@@ -122,13 +122,23 @@ def main():
 
     t0 = time.time()
     state, logs = step(state, batch, align_params, key)
-    sync(state.params)
+    sync(logs["train_loss_total"])
     compile_s = time.time() - t0
+    # one more step fully drained, then estimate the idle d2h fetch cost —
+    # through the axon relay a fetch can cost SECONDS and the r3 907-1268ms
+    # readings for an (honest) ~400ms step were fetch-amortization noise;
+    # subtracting the idle-fetch baseline and amortizing over more steps
+    # matches the chained bench_core_parts methodology
+    state, logs = step(state, batch, align_params, key)
+    sync(logs["train_loss_total"])
+    t0 = time.time()
+    sync(logs["train_loss_total"])
+    rpc = time.time() - t0
     t0 = time.time()
     for _ in range(args.steps):
         state, logs = step(state, batch, align_params, key)
-    sync(state.params)
-    dt = (time.time() - t0) / args.steps
+    sync(logs["train_loss_total"])
+    dt = max(time.time() - t0 - rpc, 1e-9) / args.steps
     print(json.dumps({
         "metric": "uda_train_step_time",
         "value": round(dt * 1000, 1),
@@ -140,6 +150,7 @@ def main():
                      f"{' -dacsaug' if args.no_dacs_aug else ''}"
                      f"{' -adapt' if args.no_adapt else ''}"),
         "compile_s": round(compile_s, 1),
+        "rpc_s": round(rpc, 2),
         "hours_for_40k_steps": round(40000 * dt / 3600, 2),
         "loss": float(logs["train_loss_total"]),
     }))
