@@ -73,6 +73,13 @@ def main():
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--batch", type=int, default=2)
     ap.add_argument("--model", default="mit_b5")
+    ap.add_argument("--iters", type=int, default=8,
+                    help="timing-window length; the axon relay shows an "
+                    "iteration-count-dependent cost (8-iter window: 324 "
+                    "ms/step; 30-step bench_train window: 810) — sweep "
+                    "this to characterize it")
+    ap.add_argument("--only", default=None,
+                    help="comma-list of probes to run (default all)")
     ap.add_argument("--refign", action="store_true",
                     help="measure the FULL refign prefix (teacher b2x2 + "
                     "VGG/UAWarpC align + refine + DACS) instead of the "
@@ -110,6 +117,14 @@ def main():
         return (a[0] + eps,) + a[1:]
 
     results = {}
+    only = set(args.only.split(",")) if args.only else None
+
+    def run(name, fn, chain, *a):
+        if only is not None and name not in only:
+            return
+        results[name] = timeit(fn, chain, *a, iters=args.iters)
+        print(f"  {name:>12}: {results[name]:8.1f} ms", flush=True)
+
     # NOTE: every big tree (params, stats, grads, opt_state) must be a jit
     # ARGUMENT, not a closure — closed-over arrays are baked into the HLO
     # as constants and the ~324MB of B5 weights blows the axon
@@ -124,7 +139,7 @@ def main():
         out, _ = seg.apply(v, img.astype(cdt), train=True,
                            mutable=["batch_stats"], method=Segmentor.whole)
         return out
-    results["fwd_infer"] = timeit(
+    run("fwd_infer",
         lambda img: fwd_infer(dparams, dstats, img), chain_img, img)
 
     # --- fwd training mode (dropout/droppath, mutable stats)
@@ -136,7 +151,7 @@ def main():
             rngs={"dropout": key, "droppath": key},
             mutable=["batch_stats"], method=Segmentor.logits_and_features)
         return logits
-    results["fwd_train"] = timeit(
+    run("fwd_train",
         lambda img: fwd_train(dparams, dstats, img), chain_img, img)
 
     # --- grad of source CE only
@@ -153,7 +168,7 @@ def main():
             return pixel_weighted_cross_entropy(logits, sem)
         l, g = jax.value_and_grad(loss_fn)(p0)
         return l
-    results["grad_src"] = timeit(
+    run("grad_src",
         lambda img: grad_src(dparams, dstats, img), chain_img, img)
 
     # --- full production core (includes mixed pass + fdist + adamw)
@@ -193,7 +208,7 @@ def main():
         new_state, logs = step_fn.jit_core(state, b, mixed_img, mixed_lbl,
                                            mixed_w, key)
         return logs["train_loss_total"]
-    results["core_full"] = timeit(core_call, chain_img, img)
+    run("core_full", core_call, chain_img, img)
 
     # --- no-grad prefix program alone (teacher fwd + DACS; no align here)
     def prefix_call(img):
@@ -202,7 +217,7 @@ def main():
         out = step_fn.jit_prefix(state, b, align_params, key,
                                  use_ref_as_target=False)
         return out[1]  # mixed_img
-    results["prefix"] = timeit(prefix_call, chain_img, img)
+    run("prefix", prefix_call, chain_img, img)
 
     # --- the production step exactly as the fit loop runs it: prefix +
     # core + the Python-side state._replace / pytree flatten of the ~2k
@@ -213,20 +228,23 @@ def main():
         b["image_src"] = img
         return step_fn(st, b, align_params, key)
 
-    st = state
-    new_st, logs = full_step(st, img)
-    jax.block_until_ready(logs["train_loss_total"])
-    st = new_st
-    _sync(logs["train_loss_total"])
-    t0 = time.perf_counter()
-    _sync(logs["train_loss_total"])
-    rpc = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    for _ in range(8):
-        st, logs = full_step(st, img)
-    _sync(logs["train_loss_total"])
-    results["full_step"] = max(
-        time.perf_counter() - t0 - rpc, 1e-9) / 8 * 1e3
+    if only is None or "full_step" in only:
+        st = state
+        new_st, logs = full_step(st, img)
+        jax.block_until_ready(logs["train_loss_total"])
+        st = new_st
+        _sync(logs["train_loss_total"])
+        t0 = time.perf_counter()
+        _sync(logs["train_loss_total"])
+        rpc = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            st, logs = full_step(st, img)
+        _sync(logs["train_loss_total"])
+        results["full_step"] = max(
+            time.perf_counter() - t0 - rpc, 1e-9) / args.iters * 1e3
+        print(f"  {'full_step':>12}: {results['full_step']:8.1f} ms",
+              flush=True)
 
     # --- adamw update alone (grads = params scaled)
     grads = jax.tree_util.tree_map(lambda p: p * 1e-3, state.params)
@@ -238,12 +256,11 @@ def main():
         updates, _ = tx.update(g2, os_, p)
         newp = optax.apply_updates(p, updates)
         return jax.tree_util.tree_leaves(newp)[0]
-    results["adamw_only"] = timeit(
+    run("adamw_only",
         lambda img: opt_only(grads, state.opt_state, dparams, img),
         chain_img, img)
 
-    for k, v in results.items():
-        print(f"  {k:>12}: {v:8.1f} ms")
+    print("done:", ",".join(results))
 
 
 if __name__ == "__main__":
