@@ -80,6 +80,11 @@ def main():
                     "this to characterize it")
     ap.add_argument("--only", default=None,
                     help="comma-list of probes to run (default all)")
+    ap.add_argument("--remat", action="store_true",
+                    help="rematerialize MiT blocks: on this 10:1 "
+                    "memory-bound core (HBM floor ~190 ms vs MXU ~18 ms) "
+                    "recomputing activations in backward can cut HBM "
+                    "bytes below the no-remat program's roofline")
     ap.add_argument("--refign", action="store_true",
                     help="measure the FULL refign prefix (teacher b2x2 + "
                     "VGG/UAWarpC align + refine + DACS) instead of the "
@@ -90,7 +95,8 @@ def main():
     B, S = args.batch, args.size
 
     seg = Segmentor(backbone=MixVisionTransformer(model_type=args.model,
-                                                  drop_path_rate=0.1),
+                                                  drop_path_rate=0.1,
+                                                  remat=args.remat),
                     head=DAFormerHead(num_classes=19))
     key = jax.random.PRNGKey(0)
     rng = np.random.RandomState(0)
