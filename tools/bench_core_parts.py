@@ -91,13 +91,20 @@ def main():
                     "plain-UDA prefix — the real jit_prefix program with "
                     "weights as arguments, unlike bench_step_parts whose "
                     "closure-baked constants let XLA specialize")
+    ap.add_argument("--hrda", action="store_true",
+                    help="HRDA-star student (scale attention + LR/HR "
+                    "double pass); only core_full/prefix/full_step probes "
+                    "support this")
     args = ap.parse_args()
     B, S = args.batch, args.size
 
+    from refign_tpu.models.heads.segformer import SegFormerHead
     seg = Segmentor(backbone=MixVisionTransformer(model_type=args.model,
                                                   drop_path_rate=0.1,
                                                   remat=args.remat),
-                    head=DAFormerHead(num_classes=19))
+                    head=DAFormerHead(num_classes=19),
+                    scale_attention=(SegFormerHead(num_classes=19)
+                                     if args.hrda else None))
     key = jax.random.PRNGKey(0)
     rng = np.random.RandomState(0)
     img = jnp.asarray(rng.randn(B, S, S, 3), jnp.float32)
@@ -108,8 +115,13 @@ def main():
     except RuntimeError:
         cpu = jax.devices()[0]
     with jax.default_device(cpu):
-        variables = seg.init(key, np.zeros((1, 64, 64, 3), np.float32),
-                             method=Segmentor.logits_and_features)
+        if args.hrda:
+            variables = seg.init(key, np.zeros((1, 64, 64, 3), np.float32),
+                                 jnp.zeros((2,), jnp.int32),
+                                 method=Segmentor.hrda_train)
+        else:
+            variables = seg.init(key, np.zeros((1, 64, 64, 3), np.float32),
+                                 method=Segmentor.logits_and_features)
     params = variables["params"]
     stats = variables.get("batch_stats", {})
     tx, _ = make_uda_optimizer(params, 6e-4, 0.01, 40000)
@@ -199,7 +211,7 @@ def main():
             {"backbone": ab["params"], "head": ah["params"],
              "head_stats": ah["batch_stats"]}, jax.devices()[0])
     cfg = UDAConfig(use_refign=args.refign, use_align=args.refign,
-                    enable_fdist=True)
+                    use_hrda=args.hrda, enable_fdist=True)
     step_fn = make_uda_train_step(seg, align_backbone, align_head, tx, cfg)
     mixed_img = img
     mixed_lbl = sem

@@ -4,10 +4,10 @@ Measures steady-state step time at a configurable geometry (default: the
 Refign-DAFormer protocol — 512^2 crops, batch 2 src + 2 trg, MiT-B5 student,
 VGG-16 + UAWarpC aligner, fdist on).  Prints one JSON line.
 
-NOTE on tunneled dev TPUs (axon relay): wall-clock step time is dominated by
-host->device batch transfer over the relay; profiled device-busy time for
-this geometry is ~215 ms/step (~2.4 h per 40k-step training) on v5e.  On a
-real TPU VM the PCIe transfer is negligible.
+NOTE on tunneled dev TPUs (axon relay): any host-resident array passed to
+the step is re-uploaded through the relay EVERY step and dominates the
+reading — keep all weights/batches device_put (this tool does) and use
+--transfer only to deliberately include the per-step batch upload.
 
 Usage: python tools/bench_train.py [--size 512] [--batch 2] [--steps 10]
        [--model mit_b5] [--hrda]
@@ -98,8 +98,14 @@ def main():
             ab, np.zeros((1, 256, 256, 3), np.float32),
             extract_only_indices=[-2, -1])
         ah = align_head.init(key, feats, feats, f256, f256, (S, S))
-    align_params = {"backbone": ab["params"], "head": ah["params"],
-                    "head_stats": ah["batch_stats"]}
+    # device_put is NOT optional: these trees are created under
+    # jax.default_device(cpu) and stay CPU-committed; passing them to the
+    # TPU-jitted prefix re-uploads ~70MB of VGG+UAWarpC weights through the
+    # axon relay EVERY step (the fit loop replicate()s them once instead).
+    # The r3 810-965 ms/step readings for a ~280 ms step were exactly this.
+    align_params = jax.device_put(
+        {"backbone": ab["params"], "head": ah["params"],
+         "head_stats": ah["batch_stats"]}, jax.devices()[0])
     cfg = UDAConfig(use_hrda=args.hrda,
                     use_refign=not args.no_align,
                     use_align=not args.no_align,
@@ -110,6 +116,7 @@ def main():
     tx, _ = make_uda_optimizer(variables["params"], 6e-4, 0.01, 40000)
     state = init_uda_state(variables["params"],
                            variables.get("batch_stats", {}), tx)
+    state = jax.device_put(state, jax.devices()[0])
     step = make_uda_train_step(seg, align_backbone, align_head, tx, cfg)
     if not args.transfer:
         batch = jax.device_put(batch)
