@@ -10,11 +10,11 @@ DAFormer, fused by scale attention, folded with count-mat averaging.
 
 Runs in bfloat16 (fp32 islands preserved inside LN/softmax/interpolate).
 
-``vs_baseline``: measured throughput / (2 x A100_EST).  A100_EST = 2.0
-img/s is the CONSERVATIVE (least favorable) end of a derived range — see
-BASELINE.md "A100 throughput baseline — derivation": the pipeline is
-8.75 TFLOP/image (XLA cost analysis of this very program), and mapping the
-public SegFormer-B5 V100 throughput anchor to A100+AMP bounds the torch
+``vs_baseline``: measured throughput / (2 x A100_EST).  A100_EST = 2.1
+img/s is the LEAST FAVORABLE end of a derived range — see BASELINE.md
+"A100 throughput baseline — derivation": the pipeline is 8.75 TFLOP/image
+(XLA cost analysis of this very program), and mapping the public
+SegFormer-B5 V100 throughput anchor to A100+AMP bounds the torch
 reference at 0.9-2.1 img/s.  No published A100 number exists (the
 reference reports accuracy only, SURVEY.md §6).
 """
@@ -23,7 +23,7 @@ import time
 
 import numpy as np
 
-A100_EST_IMG_PER_S = 2.0
+A100_EST_IMG_PER_S = 2.1
 TARGET = 2.0 * A100_EST_IMG_PER_S
 
 

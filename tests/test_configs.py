@@ -66,6 +66,8 @@ def test_config_builds_task(path):
             if "darkzurich" in path:
                 assert set(tests) == {"DarkZurich", "NighttimeDriving",
                                       "BDD100kNight"}
+            else:
+                assert set(tests) == {"RobotCar"}
     else:
         assert task.head is not None
         assert task.align_cfg.include_transforms == ("hom", "tps", "afftps")

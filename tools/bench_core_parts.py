@@ -11,9 +11,12 @@ core's ingredients separately to localize the other ~750 ms:
   fwd_train     student forward exactly as the core runs it (dropout +
                 droppath rngs, mutable batch_stats)
   grad_src      value_and_grad of the SOURCE pass + CE only
-  grad_full     value_and_grad of the full loss (source + fdist + mixed)
-  adamw         optimizer update alone (precomputed grads)
-  core          the production jit_core program
+  core_full     the production jit_core program (src + fdist + mixed +
+                backward + AdamW)
+  prefix        the production jit_prefix program (teacher/align/DACS)
+  full_step     prefix + core + per-step host pytree work, exactly as the
+                fit loop dispatches it
+  adamw_only    optimizer update alone (precomputed grads)
 
 Chained inputs + scalar d2h sync (axon timing rules, PARITY.md).
 
@@ -136,6 +139,11 @@ def main():
 
     results = {}
     only = set(args.only.split(",")) if args.only else None
+    _PROBES = {"fwd_infer", "fwd_train", "grad_src", "core_full", "prefix",
+               "full_step", "adamw_only"}
+    if only is not None and not only <= _PROBES:
+        sys.exit(f"unknown probe(s) {sorted(only - _PROBES)}; "
+                 f"valid: {sorted(_PROBES)}")
 
     def run(name, fn, chain, *a):
         if only is not None and name not in only:
@@ -185,7 +193,12 @@ def main():
                                  align_corners=False)
             return pixel_weighted_cross_entropy(logits, sem)
         l, g = jax.value_and_grad(loss_fn)(p0)
-        return l
+        # every grad leaf must reach the output (as a full reduction — a
+        # single-element read can be slice-propagated through the dots) or
+        # XLA DCEs the backward pass and this probe silently times a forward
+        gsum = jax.tree_util.tree_reduce(
+            lambda a, x: a + jnp.sum(x.astype(jnp.float32)), g, 0.0)
+        return l, gsum
     run("grad_src",
         lambda img: grad_src(dparams, dstats, img), chain_img, img)
 
@@ -271,9 +284,18 @@ def main():
     def opt_only(g, os_, p, img):
         g2 = jax.tree_util.tree_map(
             lambda gg: gg + img.reshape(-1)[0] * 0, g)
-        updates, _ = tx.update(g2, os_, p)
+        updates, new_os = tx.update(g2, os_, p)
         newp = optax.apply_updates(p, updates)
-        return jax.tree_util.tree_leaves(newp)[0]
+        # full reductions over EVERY updated leaf + the new opt state —
+        # returning a single leaf lets XLA DCE the other ~2k leaves'
+        # moment/decay/update computations
+        force = jax.tree_util.tree_reduce(
+            lambda a, x: a + jnp.sum(x.astype(jnp.float32)), newp, 0.0)
+        force = force + jax.tree_util.tree_reduce(
+            lambda a, x: (a + jnp.sum(x.astype(jnp.float32))
+                          if jnp.issubdtype(x.dtype, jnp.floating) else a),
+            new_os, 0.0)
+        return force
     run("adamw_only",
         lambda img: opt_only(grads, state.opt_state, dparams, img),
         chain_img, img)

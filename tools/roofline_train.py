@@ -6,9 +6,12 @@ the same accounting PARITY.md carries for the inference bench.  This
 localizes whether the measured ~900 ms differentiated core is bytes (a
 real roofline), or scheduling slack that optimization can recover.
 
-Runs on any backend; on CPU the compiled layouts differ from TPU so the
-bytes figure is an estimate, but fusion decisions are broadly similar.
-Use --backend tpu on the axon chip for the authoritative numbers.
+Runs on whatever backend JAX selects (JAX_PLATFORMS); on CPU the compiled
+layouts differ from TPU so the bytes figure is an estimate, but fusion
+decisions are broadly similar.  Run under the default axon env on the
+chip for the authoritative numbers; the measured ~900 ms figure it was
+written to explain turned out to be a tool bug (see PARITY.md provenance
+note) — the real core is ~220 ms.
 
 Usage: python tools/roofline_train.py [--size 512] [--batch 2] [--hrda]
 """

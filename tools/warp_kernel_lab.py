@@ -56,7 +56,10 @@ def timeit(fn, x, grid, iters=20):
     if out.shape == x.shape:
         chain = lambda o: o
     else:
-        chain = lambda o: x
+        # feed a fresh perturbation of x each iteration: re-dispatching
+        # bit-identical arguments is exactly the memoized-looking pattern
+        # the axon methodology forbids (PARITY.md r2 fix)
+        chain = lambda o: x + (o.reshape(-1)[0] * 0).astype(x.dtype)
     for _ in range(2):
         out = fn(chain(out), grid)
     _sync(out)
