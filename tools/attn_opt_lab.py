@@ -34,7 +34,6 @@ Usage: python tools/attn_opt_lab.py [stage3|all]
 import functools
 import os
 import sys
-import time
 
 import numpy as np
 
@@ -52,29 +51,19 @@ STAGES = {
 BLOCKS = {"stage1": 3, "stage2": 6, "stage3": 40, "stage4": 3}
 
 
-def _sync(x):
-    import jax
-    np.asarray(jax.device_get(x[(0,) * x.ndim]))
+from _timing import chained_timeit  # noqa: E402
 
 
 def timeit(fn, q, k, v, iters=30):
+    """Honest axon timing (tools/_timing.py); returns SECONDS/iter."""
     import jax
     jfn = jax.jit(fn)
-    out = jfn(q, k, v)
-    _sync(out)
-    for _ in range(2):
-        q = q + (out[0, 0, 0, 0] * 0).astype(q.dtype)
-        out = jfn(q, k, v)
-    _sync(out)
-    t0 = time.perf_counter()
-    _sync(out)
-    rpc = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        q = q + (out[0, 0, 0, 0] * 0).astype(q.dtype)
-        out = jfn(q, k, v)
-    _sync(out)
-    return max(time.perf_counter() - t0 - rpc, 1e-9) / iters
+
+    def chain(args, out):
+        q = args[0] + (out[0, 0, 0, 0] * 0).astype(args[0].dtype)
+        return (q,) + args[1:]
+
+    return chained_timeit(jfn, chain, q, k, v, iters=iters) / 1e3
 
 
 # ---------------------------------------------------------------------------

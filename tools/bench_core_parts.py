@@ -32,29 +32,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _sync(x):
-    import jax
-    np.asarray(jax.device_get(x[(0,) * getattr(x, "ndim", 0)]
-                              if getattr(x, "ndim", 0) else x))
-
-
-def timeit(fn, chain, *args, iters=8):
-    """fn(*args) -> out; chain(args, out) -> new args (forces execution)."""
-    import jax
-    out = fn(*args)
-    jax.block_until_ready(out)
-    args = chain(args, out)
-    out = fn(*args)
-    _sync(jax.tree_util.tree_leaves(out)[0])
-    t0 = time.perf_counter()
-    _sync(jax.tree_util.tree_leaves(out)[0])
-    rpc = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        args = chain(args, out)
-        out = fn(*args)
-    _sync(jax.tree_util.tree_leaves(out)[0])
-    return max(time.perf_counter() - t0 - rpc, 1e-9) / iters * 1e3
+from _timing import chained_timeit as timeit, sync_scalar as _sync  # noqa: E402
 
 
 def main():

@@ -35,42 +35,29 @@ Usage: python tools/warp_kernel_lab.py [tiny|full]
 import functools
 import os
 import sys
-import time
 
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _sync(x):
-    import jax
-    np.asarray(jax.device_get(x[(0,) * x.ndim]))
+from _timing import chained_timeit  # noqa: E402
 
 
 def timeit(fn, x, grid, iters=20):
-    """Honest axon timing: chain the output back into the input (forces
-    every execution) and barrier with a scalar fetch, subtracting the
-    fetch-only RPC baseline."""
-    out = fn(x, grid)
-    _sync(out)
-    if out.shape == x.shape:
-        chain = lambda o: o
-    else:
-        # feed a fresh perturbation of x each iteration: re-dispatching
-        # bit-identical arguments is exactly the memoized-looking pattern
-        # the axon methodology forbids (PARITY.md r2 fix)
-        chain = lambda o: x + (o.reshape(-1)[0] * 0).astype(x.dtype)
-    for _ in range(2):
-        out = fn(chain(out), grid)
-    _sync(out)
-    t0 = time.perf_counter()
-    _sync(out)
-    rpc = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(chain(out), grid)
-    _sync(out)
-    return max(time.perf_counter() - t0 - rpc, 1e-9) / iters
+    """Honest axon timing (see tools/_timing.py): chain the output back
+    into the input; if the variant is not shape-preserving, feed a fresh
+    perturbation of x instead (re-dispatching bit-identical arguments is
+    the memoized-looking pattern the methodology forbids).  Returns
+    SECONDS per iteration (callers format in ms themselves)."""
+    shape_preserving = fn(x, grid).shape == x.shape
+
+    def chain(args, out):
+        if shape_preserving:
+            return (out, args[1])
+        return (x + (out.reshape(-1)[0] * 0).astype(x.dtype), args[1])
+
+    return chained_timeit(fn, chain, x, grid, iters=iters) / 1e3
 
 
 # --------------------------------------------------------------------------
