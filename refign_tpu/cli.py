@@ -24,7 +24,15 @@ def _apply_override(cfg: Dict[str, Any], dotted: str, value: str) -> None:
     keys = dotted.split(".")
     node = cfg
     for k in keys[:-1]:
-        node = node.setdefault(k, {})
+        # an empty YAML section (`trainer:`) parses as None — replace it,
+        # and refuse to descend into scalars
+        if node.get(k) is None:
+            node[k] = {}
+        if not isinstance(node[k], dict):
+            raise SystemExit(
+                f"--{dotted}: config node '{k}' is not a mapping "
+                f"({type(node[k]).__name__})")
+        node = node[k]
     try:
         parsed = json.loads(value)
     except (json.JSONDecodeError, TypeError):
@@ -48,11 +56,14 @@ def main(argv: List[str] = None) -> int:
     i = 0
     while i < len(overrides):
         key = overrides[i]
-        assert key.startswith("--"), f"unknown argument {key}"
+        if not key.startswith("--"):
+            raise SystemExit(f"unknown argument {key}")
         if "=" in key:
             dotted, value = key[2:].split("=", 1)
             i += 1
         else:
+            if i + 1 >= len(overrides):
+                raise SystemExit(f"override {key} is missing a value")
             dotted, value = key[2:], overrides[i + 1]
             i += 2
         _apply_override(cfg, dotted, value)
@@ -68,6 +79,10 @@ def main(argv: List[str] = None) -> int:
         os.path.splitext(os.path.basename(args.config))[0])
 
     task, _ = build_task(cfg, data_dir=args.data_dir)
+    if args.subcommand == "predict" and not hasattr(task, "predict"):
+        raise SystemExit(
+            f"'predict' is not supported for {type(task).__name__} "
+            "(the reference AlignmentModel defines no predict_step either)")
 
     if args.subcommand == "fit":
         task.fit(workdir, seed=seed, resume=args.ckpt_path)
@@ -78,7 +93,10 @@ def main(argv: List[str] = None) -> int:
         import jax
         from .utils.checkpoint import restore_checkpoint
         init = task.init_state(jax.random.PRNGKey(seed))
-        template = init[0] if isinstance(init, tuple) else init
+        # SegTask returns a plain (state, align_params) tuple; AlignTask
+        # returns a train-state NamedTuple (also a tuple — don't index it)
+        template = (init[0] if isinstance(init, tuple)
+                    and not hasattr(init, "_fields") else init)
         state = restore_checkpoint(args.ckpt_path, template)
 
     if args.subcommand in ("validate", "test"):

@@ -139,11 +139,13 @@ class CombinedDataModule:
                     **conf))
             self.datasets[st] = ds_list
 
-    def train_dataloaders(self):
+    def train_dataloaders(self, seed: int = 0):
+        """``seed`` feeds the per-epoch shuffle RNG so `--seed` actually
+        changes the data order (reference seed_everything semantics)."""
         from .loader import DataLoader
         per_ds_bs = self.batch_size // len(self.stage_on["train"])
         return [DataLoader(ds, per_ds_bs, shuffle=True, drop_last=True,
-                           num_workers=self.num_workers)
+                           num_workers=self.num_workers, seed=seed)
                 for ds in self.datasets["train"]]
 
     def eval_dataloaders(self, stage: str):

@@ -117,7 +117,8 @@ class AlignTask:
         tx, sched_fn = make_adam_optimizer(self.opt.lr,
                                     self.sched.milestones or [10 ** 9],
                                     gamma=self.sched.gamma,
-                                    weight_decay=self.opt.weight_decay)
+                                    weight_decay=self.opt.weight_decay,
+                                    betas=self.opt.betas)
         self.tx = tx
         self.sched_fn = sched_fn
         return init_align_state(hvars, bvars["params"], tx)
@@ -129,7 +130,7 @@ class AlignTask:
         from ..data.loader import DevicePrefetcher, InfiniteLoader
         os.makedirs(workdir, exist_ok=True)
         self.datamodule.setup("fit")
-        loaders = self.datamodule.train_dataloaders()
+        loaders = self.datamodule.train_dataloaders(seed=seed)
         it = iter(InfiniteLoader(loaders[0]))
 
         rng = jax.random.PRNGKey(seed)
@@ -177,12 +178,13 @@ class AlignTask:
                 logf.flush()
                 tb.log_scalars(logs, step + 1)
             if (step + 1) % val_every == 0 or step + 1 == max_steps:
-                metrics = self.evaluate("val", state=jax.device_get(state))
+                host_state = jax.device_get(state)  # one d2h for val+ckpt
+                metrics = self.evaluate("val", state=host_state)
                 print(f"[val] step {step + 1}: {metrics}", flush=True)
                 logf.write(json.dumps({"step": step + 1, **metrics}) + "\n")
                 logf.flush()
                 tb.log_scalars(metrics, step + 1)
-                save_checkpoint(ckpt_dir, jax.device_get(state), step + 1)
+                save_checkpoint(ckpt_dir, host_state, step + 1)
         prefetcher.close()
         save_checkpoint(ckpt_dir, jax.device_get(state), max_steps)
         logf.close()

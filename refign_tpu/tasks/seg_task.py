@@ -147,6 +147,13 @@ class SegTask:
             params = dict(params)
             params["backbone"] = subset_like(bb["params"],
                                              params["backbone"])
+            # BN backbones (ResNet/DeepLabV2): the converted running
+            # mean/var must land too — norm_eval/inference BN reads them,
+            # and dropping them silently leaves flax-init stats (0/1)
+            if bb.get("batch_stats") and batch_stats.get("backbone"):
+                batch_stats = dict(batch_stats)
+                batch_stats["backbone"] = subset_like(
+                    bb["batch_stats"], batch_stats["backbone"])
 
         align_params = None
         if self.align_backbone is not None:
@@ -179,6 +186,7 @@ class SegTask:
             self.sched.max_steps,
             backbone_lr_factor=self.backbone_lr_factor,
             warmup_iters=self.sched.warmup_iters, power=self.sched.power,
+            warmup_ratio=self.sched.warmup_ratio, min_lr=self.sched.min_lr,
             betas=self.opt.betas)
         self.tx = tx
         self.sched_fn = sched_fn
@@ -341,7 +349,7 @@ class SegTask:
         from ..data.loader import DevicePrefetcher, InfiniteLoader
         os.makedirs(workdir, exist_ok=True)
         self.datamodule.setup("fit")
-        train_loaders = self.datamodule.train_dataloaders()
+        train_loaders = self.datamodule.train_dataloaders(seed=seed)
         iters = [iter(InfiniteLoader(l)) for l in train_loaders]
 
         rng = jax.random.PRNGKey(seed)
@@ -409,12 +417,13 @@ class SegTask:
                 logf.flush()
                 tb.log_scalars(logs, step + 1)
             if (step + 1) % val_every == 0 or step + 1 == max_steps:
-                metrics = self.evaluate("val", state=jax.device_get(state))
+                host_state = jax.device_get(state)  # one d2h for val+ckpt
+                metrics = self.evaluate("val", state=host_state)
                 print(f"[val] step {step + 1}: {metrics}", flush=True)
                 logf.write(json.dumps({"step": step + 1, **metrics}) + "\n")
                 logf.flush()
                 tb.log_scalars(metrics, step + 1)
-                save_checkpoint(ckpt_dir, jax.device_get(state), step + 1)
+                save_checkpoint(ckpt_dir, host_state, step + 1)
         prefetcher.close()
         save_checkpoint(ckpt_dir, jax.device_get(state), max_steps)
         logf.close()

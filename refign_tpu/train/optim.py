@@ -67,10 +67,12 @@ def param_group_label(path: Sequence[str], value: Any) -> str:
 def make_uda_optimizer(params, base_lr: float, weight_decay: float,
                        max_steps: int, backbone_lr_factor: float = 0.1,
                        warmup_iters: int = 1500, power: float = 0.9,
+                       warmup_ratio: float = 1e-6, min_lr: float = 0.0,
                        betas=(0.9, 0.999), accumulate_steps: int = 1):
     """AdamW with the reference's 4 param groups and warmup-poly schedule."""
     sched = warmup_poly_schedule(base_lr, max_steps,
-                                 warmup_iters=warmup_iters, power=power)
+                                 warmup_iters=warmup_iters, power=power,
+                                 warmup_ratio=warmup_ratio, min_lr=min_lr)
 
     def group_tx(lr_factor: float, wd: float):
         return optax.chain(
@@ -96,14 +98,19 @@ def make_uda_optimizer(params, base_lr: float, weight_decay: float,
 
 
 def make_adam_optimizer(base_lr: float, milestones: Sequence[int],
-                        gamma: float = 0.5, weight_decay: float = 0.0):
+                        gamma: float = 0.5, weight_decay: float = 0.0,
+                        betas=(0.9, 0.999)):
     """Plain Adam + MultiStepLR for UAWarpC training
-    (uawarpc_stage1.yaml:161-174)."""
+    (uawarpc_stage1.yaml:161-174).
+
+    torch.optim.Adam semantics: weight decay is classic L2 regularization
+    — ``wd * p`` is added to the GRADIENT before the moment estimates
+    (decay precedes scale_by_adam), unlike AdamW's decoupled decay."""
     sched = multistep_schedule(base_lr, milestones, gamma)
     tx = optax.chain(
-        optax.scale_by_adam(),
         optax.add_decayed_weights(weight_decay) if weight_decay else
         optax.identity(),
+        optax.scale_by_adam(b1=betas[0], b2=betas[1]),
         optax.scale_by_learning_rate(sched),
     )
     return tx, sched

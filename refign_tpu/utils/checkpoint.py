@@ -106,9 +106,11 @@ def save_checkpoint(ckpt_dir: str, state: Any, step: int,
     pinned = None
     if os.path.islink(last):
         pinned = os.path.basename(os.readlink(last))
+    # only fully-numeric suffixes: a crash mid-save leaves orbax temp dirs
+    # like step_4000.orbax-checkpoint-tmp-<ts> that must not break pruning
     steps = sorted(
         int(d.split("_")[1]) for d in os.listdir(ckpt_dir)
-        if d.startswith("step_"))
+        if d.startswith("step_") and d.split("_")[1].isdigit())
     for s in steps[:-keep]:
         if f"step_{s}" == pinned:
             continue

@@ -109,3 +109,58 @@ def test_prune_never_strands_last(tmp_path):
     save_checkpoint(ckpt_dir, state, step=6, keep=2)
     assert os.readlink(last).endswith("step_6")
     assert not os.path.isdir(os.path.join(ckpt_dir, "step_1"))
+
+
+def test_prune_survives_orbax_tmp_dirs(tmp_path):
+    """A crash mid-save leaves `step_<N>.orbax-checkpoint-tmp-<ts>` dirs;
+    pruning must skip them instead of dying on int() (regression)."""
+    state = {"step": np.asarray(0, np.int32),
+             "params": {"w": np.zeros((2,), np.float32)}}
+    ckpt_dir = str(tmp_path / "ckpts")
+    save_checkpoint(ckpt_dir, state, step=1)
+    os.makedirs(os.path.join(
+        ckpt_dir, "step_2.orbax-checkpoint-tmp-1699999999"))
+    # must neither raise nor delete the temp dir's prefix sibling
+    save_checkpoint(ckpt_dir, state, step=3)
+    assert os.path.isdir(os.path.join(ckpt_dir, "step_3"))
+
+
+def test_seg_task_pretrained_backbone_loads_running_stats(tmp_path):
+    """SegTask's pretrained-backbone bootstrap must land BN running
+    mean/var, not just params (regression: batch_stats stayed at flax
+    init 0/1 for ResNet/DeepLabV2 configs)."""
+    rm = ref_oracle.load_ref_module("models.backbones.resnet")
+    torch.manual_seed(3)
+    ref = rm.ResNet("resnet18_v1c", strides=(1, 2, 2, 2),
+                    dilations=(1, 1, 1, 1), out_indices=(0, 1, 2, 3))
+    # make running stats distinguishable from flax init (mean 0 / var 1)
+    with torch.no_grad():
+        for m in ref.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.uniform_(0.5, 1.5)
+                m.running_var.uniform_(2.0, 3.0)
+    path = str(tmp_path / "r18.pth")
+    torch.save(ref.state_dict(), path)
+
+    from refign_tpu.config import OptimizerSpec, SchedulerSpec
+    from refign_tpu.tasks.seg_task import SegTask
+    margs = {
+        "backbone": {"class_path": "models.backbones.ResNet",
+                     "init_args": {"model_type": "resnet18_v1c",
+                                   "pretrained": path}},
+        "head": {"class_path": "models.heads.DeepLabV2Head",
+                 "init_args": {"in_channels": 512, "in_index": 3,
+                               "num_classes": 19}},
+        "enable_fdist": False,
+        "use_refign": False,
+    }
+    import jax
+    task = SegTask(margs, OptimizerSpec("AdamW", 6e-4, 0.01),
+                   SchedulerSpec("LinearWarmupPolynomialLR", max_steps=10),
+                   {}, datamodule=None)
+    state, _ = task.init_state(jax.random.PRNGKey(0))
+    stem_stats = state.batch_stats["backbone"]["stem_1"]
+    want = ref.stem[1].running_mean.numpy()
+    np.testing.assert_allclose(np.asarray(stem_stats["mean"]), want,
+                               rtol=1e-6)
+    assert float(np.asarray(stem_stats["var"]).min()) > 1.5

@@ -204,3 +204,25 @@ def test_cli_fit_validate_predict(data_root, tmp_path):
     assert len(preds) == 2
     colors = os.listdir(os.path.join(workdir, "color_preds", "ACDC"))
     assert len(colors) == 2
+
+
+def test_apply_override_handles_null_sections_and_bad_args(tmp_path):
+    """Dot-overrides must survive empty YAML sections (`trainer:` -> None)
+    and reject malformed arguments loudly (regression)."""
+    import pytest
+    from refign_tpu.cli import _apply_override
+
+    cfg = {"trainer": None}
+    _apply_override(cfg, "trainer.max_steps", "100")
+    assert cfg["trainer"]["max_steps"] == 100
+
+    cfg = {"trainer": {"max_steps": 5}}
+    with pytest.raises(SystemExit, match="not a mapping"):
+        _apply_override(cfg, "trainer.max_steps.deeper", "1")
+
+    # trailing valueless flag -> clean error, not IndexError
+    from refign_tpu.cli import main
+    cfg_path = tmp_path / "empty.yaml"
+    cfg_path.write_text("trainer:\n")
+    with pytest.raises(SystemExit, match="missing a value"):
+        main(["fit", "--config", str(cfg_path), "--trainer.max_steps"])

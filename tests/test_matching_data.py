@@ -189,6 +189,22 @@ def test_align_cli_fit_and_validate(tmp_path):
     assert any("val_MegaDepth_AUSE_AEPE" in l for l in lines)
     assert os.path.exists(os.path.join(workdir, "checkpoints", "last"))
 
+    # checkpointed validate: AlignTrainState is a NamedTuple — the CLI
+    # restore template must not index into it like SegTask's
+    # (state, align_params) tuple (regression: init[0] was state.step)
+    rc = main(["validate", "--config", str(cfg_path), "--workdir", workdir,
+               "--data_dir", data_root,
+               "--ckpt_path", os.path.join(workdir, "checkpoints", "last")])
+    assert rc == 0
+    metrics = json.load(open(os.path.join(workdir, "val_metrics.json")))
+    assert "val_MegaDepth_AEPE" in metrics
+
+    # predict is unsupported for alignment configs: must fail loudly
+    import pytest
+    with pytest.raises(SystemExit, match="not supported"):
+        main(["predict", "--config", str(cfg_path), "--workdir", workdir,
+              "--data_dir", data_root])
+
 
 def test_cityscapes_rare_class_sampling(tmp_path):
     """RCS draws rare classes preferentially (reference cityscapes.py:139-191)."""
