@@ -21,6 +21,14 @@ def load_yaml(path: str) -> Dict[str, Any]:
         return yaml.safe_load(f)
 
 
+def precision_dtype(precision) -> str:
+    """reference --trainer.precision {16,32} -> compute dtype
+    (16/'16'/'bf16' => bfloat16 on TPU)."""
+    if str(precision) in ("16", "bf16", "bfloat16"):
+        return "bfloat16"
+    return "float32"
+
+
 def class_name(spec: Dict[str, Any]) -> str:
     return spec["class_path"].rsplit(".", 1)[-1]
 

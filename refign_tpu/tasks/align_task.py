@@ -6,9 +6,7 @@ on-device synthetic-flow supervision, and sparse EPE/PCK/AUSE evaluation.
 """
 from __future__ import annotations
 
-import json
 import os
-import time
 from typing import Any, Dict, Optional
 
 import jax
@@ -18,18 +16,12 @@ import numpy as np
 from ..alignment.trainer import (AlignConfig, align_forward,
                                  init_align_state, make_align_train_step)
 from ..config import OptimizerSpec, SchedulerSpec, build_backbone, build_head
-from ..config import parse_metrics
+from ..config import parse_metrics, precision_dtype as _precision_dtype
 from ..parallel.mesh import make_mesh, replicate, shard_batch
 from ..train.optim import make_adam_optimizer
 from ..utils.checkpoint import (load_torch_alignment_head,
-                                restore_checkpoint, save_checkpoint)
+                                restore_checkpoint)
 from ..utils.sparse_epe import SparseEPE
-
-
-def _precision_dtype(precision) -> str:
-    if str(precision) in ("16", "bf16", "bfloat16"):
-        return "bfloat16"
-    return "float32"
 
 
 class AlignTask:
@@ -145,14 +137,11 @@ class AlignTask:
         step_fn = jax.jit(make_align_train_step(
             self.backbone, self.head, self.tx, self.align_cfg))
 
-        max_steps = int(self.trainer_cfg.get("max_steps", 400000))
-        val_every = int(self.trainer_cfg.get("val_every_n_steps",
-                                             max_steps))
-        log_every = int(self.trainer_cfg.get("log_every_n_steps", 50))
-        ckpt_dir = os.path.join(workdir, "checkpoints")
-        logf = open(os.path.join(workdir, "metrics.jsonl"), "a")
-        from ..utils.tb_logger import TensorBoardLogger
-        tb = TensorBoardLogger(os.path.join(workdir, "tb"))
+        from ..train.loop import FitBookkeeper
+        bk = FitBookkeeper(workdir, self.trainer_cfg, self.sched_fn,
+                           lambda hs: self.evaluate("val", state=hs),
+                           default_max_steps=400000)
+
         def _host_batch():
             raw = next(it)
             return {"image_ref": raw["image_ref"],
@@ -161,35 +150,14 @@ class AlignTask:
         prefetcher = DevicePrefetcher(
             _host_batch, lambda b: shard_batch(self.mesh, b))
 
-        t0 = time.time()
         start_step = int(state.step)
-        for step in range(start_step, max_steps):
+        for step in range(start_step, bk.max_steps):
             batch = prefetcher.next()
             rng, krun = jax.random.split(rng)
             state, logs = step_fn(state, batch, krun)
-            if (step + 1) % log_every == 0 or step == start_step:
-                logs = {k: float(v) for k, v in logs.items()}
-                logs.update(step=step + 1,
-                            lr=float(self.sched_fn(step)),
-                            sps=(step + 1 - start_step)
-                            / max(time.time() - t0, 1e-9))
-                print(f"[fit] {json.dumps(logs)}", flush=True)
-                logf.write(json.dumps(logs) + "\n")
-                logf.flush()
-                tb.log_scalars(logs, step + 1)
-            if (step + 1) % val_every == 0 or step + 1 == max_steps:
-                host_state = jax.device_get(state)  # one d2h for val+ckpt
-                metrics = self.evaluate("val", state=host_state)
-                print(f"[val] step {step + 1}: {metrics}", flush=True)
-                logf.write(json.dumps({"step": step + 1, **metrics}) + "\n")
-                logf.flush()
-                tb.log_scalars(metrics, step + 1)
-                save_checkpoint(ckpt_dir, host_state, step + 1)
+            bk.on_step(step, start_step, state, logs)
         prefetcher.close()
-        save_checkpoint(ckpt_dir, jax.device_get(state), max_steps)
-        logf.close()
-        tb.close()
-        return {"final_step": max_steps}
+        return bk.finish(state)
 
     # ------------------------------------------------------------------ eval
 

@@ -9,17 +9,15 @@ data-parallel mesh.
 """
 from __future__ import annotations
 
-import json
 import os
-import time
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..config import OptimizerSpec, SchedulerSpec, build_backbone, build_head
-from ..config import parse_metrics
+from ..config import parse_metrics, precision_dtype as _precision_dtype
 from ..metrics import iou_compute, iou_init, iou_update
 from ..models.segmentor import Segmentor, slide_inference
 from ..ops.resize import interpolate
@@ -30,17 +28,9 @@ from ..uda.trainer import (UDAConfig, UDATrainState, init_uda_state,
                            make_uda_train_step)
 from ..utils.checkpoint import (load_torch_alignment_head,
                                 load_torch_backbone, load_torch_full_uda,
-                                restore_checkpoint, save_checkpoint)
+                                restore_checkpoint)
 from ..utils.torch_convert import subset_like
 from ..utils.palette import colorize_mask
-
-
-def _precision_dtype(precision) -> str:
-    """reference --trainer.precision {16,32} -> compute dtype
-    (16/'16'/'bf16' => bfloat16 on TPU)."""
-    if str(precision) in ("16", "bf16", "bfloat16"):
-        return "bfloat16"
-    return "float32"
 
 
 class SegTask:
@@ -381,14 +371,10 @@ class SegTask:
             self.tx, self.uda_cfg)
         coin_rng = np.random.RandomState(seed ^ 0x5EED)
 
-        max_steps = int(self.trainer_cfg.get("max_steps", 40000))
-        val_every = int(self.trainer_cfg.get("val_every_n_steps",
-                                             max_steps))
-        log_every = int(self.trainer_cfg.get("log_every_n_steps", 50))
-        ckpt_dir = os.path.join(workdir, "checkpoints")
-        logf = open(os.path.join(workdir, "metrics.jsonl"), "a")
-        from ..utils.tb_logger import TensorBoardLogger
-        tb = TensorBoardLogger(os.path.join(workdir, "tb"))
+        from ..train.loop import FitBookkeeper
+        bk = FitBookkeeper(workdir, self.trainer_cfg, self.sched_fn,
+                           lambda hs: self.evaluate("val", state=hs),
+                           default_max_steps=40000)
 
         # double-buffered input pipeline: the next sharded batch is built
         # and transferred while the current step runs
@@ -397,38 +383,17 @@ class SegTask:
                 [next(it) for it in iters]),
             lambda b: shard_batch(self.mesh, b))
 
-        t0 = time.time()
         start_step = int(state.step)
-        for step in range(start_step, max_steps):
+        for step in range(start_step, bk.max_steps):
             batch = prefetcher.next()
             rng, krun = jax.random.split(rng)
             coin = (self.uda_cfg.adapt_to_ref
                     and bool(coin_rng.rand() < 0.5))
             state, logs = step_fn(state, batch, align_params, krun,
                                   use_ref_as_target=coin)
-            if (step + 1) % log_every == 0 or step == start_step:
-                logs = {k: float(v) for k, v in logs.items()}
-                logs.update(step=step + 1,
-                            lr=float(self.sched_fn(step)),
-                            sps=(step + 1 - start_step)
-                            / max(time.time() - t0, 1e-9))
-                print(f"[fit] {json.dumps(logs)}", flush=True)
-                logf.write(json.dumps(logs) + "\n")
-                logf.flush()
-                tb.log_scalars(logs, step + 1)
-            if (step + 1) % val_every == 0 or step + 1 == max_steps:
-                host_state = jax.device_get(state)  # one d2h for val+ckpt
-                metrics = self.evaluate("val", state=host_state)
-                print(f"[val] step {step + 1}: {metrics}", flush=True)
-                logf.write(json.dumps({"step": step + 1, **metrics}) + "\n")
-                logf.flush()
-                tb.log_scalars(metrics, step + 1)
-                save_checkpoint(ckpt_dir, host_state, step + 1)
+            bk.on_step(step, start_step, state, logs)
         prefetcher.close()
-        save_checkpoint(ckpt_dir, jax.device_get(state), max_steps)
-        logf.close()
-        tb.close()
-        return {"final_step": max_steps}
+        return bk.finish(state)
 
     # ---------------------------------------------------------------- predict
 
