@@ -67,8 +67,11 @@ def affine_mapping(rng, H: int, W: int, random_alpha=0.065, random_s=0.6,
     rot = (jax.random.uniform(k[0]) - 0.5) * 2 * random_alpha
     sh = (jax.random.uniform(k[1]) - 0.5) * 2 * random_alpha
     l1 = 1 + (2 * jax.random.uniform(k[2]) - 1) * random_s
+    # fold_in (not a 6th split slot) keeps the default path's PRNG stream
+    # identical; k[2] reuse previously made l2 == l1 always (no-op flag)
     l2 = l1 if preserve_aspect_ratio else (
-        1 + (2 * jax.random.uniform(k[2]) - 1) * random_s)
+        1 + (2 * jax.random.uniform(jax.random.fold_in(k[2], 1)) - 1)
+        * random_s)
     tx = (2 * jax.random.uniform(k[3]) - 1) * random_tx
     ty = (2 * jax.random.uniform(k[4]) - 1) * random_ty
 

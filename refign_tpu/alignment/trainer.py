@@ -41,6 +41,20 @@ class AlignConfig:
     random_t_tps: float = 0.333
     random_t_tps_for_afftps: float = 0.08
     add_elastic: bool = False
+    # photometric prime-view augs (the reference's image_prime-only host
+    # transforms, uawarpc_stage1.yaml:21-41: ColorJitter 0.6/0.6/0.6/0 +
+    # ChannelShuffle + GaussianBlur(p=0.2, k=7, sigma 0.2-2)), applied ON
+    # DEVICE before the geometric warp.  The images arrive normalized, so
+    # the augs run in denormalized [0,1] space via norm_mean/std.
+    prime_jitter: Optional[Tuple[float, float, float, float]] = None
+    prime_channel_shuffle: bool = False
+    prime_blur: Optional[Tuple[float, int, float, float]] = None  # p,k,lo,hi
+    # reference CenterCrop AFTER CompositeFlow (stage configs load 750^2,
+    # synthesize the flow there, then crop everything to 520^2) — the crop
+    # happens on device right after the prime is generated
+    crop_after_flow: Optional[Tuple[int, int]] = None
+    norm_mean: Tuple[float, float, float] = (0.485, 0.456, 0.406)
+    norm_std: Tuple[float, float, float] = (0.229, 0.224, 0.225)
     # bf16 compute at the apply boundary (reference AMP), fp32 master params
     compute_dtype: str = "bfloat16"
 
@@ -63,16 +77,52 @@ def init_align_state(head_vars, backbone_params, tx) -> AlignTrainState:
     )
 
 
+def _prime_photometric(rng, base, cfg: AlignConfig):
+    """The reference's image_prime-only host augs, batched on device:
+    jitter -> channel shuffle -> blur (transform order in
+    uawarpc_stage{1,2}.yaml), in denormalized [0,1] space."""
+    from ..uda.dacs import color_jitter_bcsh, gaussian_blur_image
+    B = base.shape[0]
+    mean = jnp.asarray(cfg.norm_mean, base.dtype)
+    std = jnp.asarray(cfg.norm_std, base.dtype)
+    x = base * std + mean
+    if cfg.prime_jitter is not None:
+        b, c, s, h = cfg.prime_jitter
+        rng, k = jax.random.split(rng)
+        x = jax.vmap(lambda kk, im: color_jitter_bcsh(kk, im, b, c, s, h))(
+            jax.random.split(k, B), x)
+    if cfg.prime_channel_shuffle:
+        rng, k = jax.random.split(rng)
+        perms = jax.vmap(lambda kk: jax.random.permutation(kk, 3))(
+            jax.random.split(k, B))
+        x = jax.vmap(lambda im, p: im[..., p])(x, perms)
+    if cfg.prime_blur is not None:
+        p, ksize, lo, hi = cfg.prime_blur
+        rng, kp, ks = jax.random.split(rng, 3)
+        apply = jax.random.bernoulli(kp, p, (B,))
+        sigmas = jax.random.uniform(ks, (B,), minval=lo, maxval=hi)
+        blurred = jax.vmap(
+            lambda im, sg: gaussian_blur_image(im, sg,
+                                               kernel_size=int(ksize)))(
+            x, sigmas)
+        x = jnp.where(apply[:, None, None, None], blurred, x)
+    return (x - mean) / std
+
+
 def prepare_alignment_batch(rng, images_ref, images_trg, cfg: AlignConfig):
     """Synthesize the prime view (reference megadepth.py:408-413 +
     CompositeFlow transform): per-sample coin picks the base image
-    (prime_trg_idx=1 -> derived from trg), then a random geometric flow
-    warps it."""
+    (prime_trg_idx=1 -> derived from trg; distributionally equivalent to
+    the reference's exchange_images_with_proba + always-target prime),
+    then photometric augs and a random geometric flow warp."""
     B = images_ref.shape[0]
-    k_coin, k_flow = jax.random.split(rng)
+    k_coin, k_photo, k_flow = jax.random.split(rng, 3)
     prime_trg_idx = jax.random.bernoulli(k_coin, 0.5, (B,))
     base = jnp.where(prime_trg_idx[:, None, None, None],
                      images_trg, images_ref)
+    if (cfg.prime_jitter is not None or cfg.prime_channel_shuffle
+            or cfg.prime_blur is not None):
+        base = _prime_photometric(k_photo, base, cfg)
     image_prime, flow_prime, mask_prime = batched_composite_flow(
         k_flow, base,
         include_transforms=cfg.include_transforms,
@@ -136,11 +186,31 @@ def make_align_train_step(backbone, head, tx, cfg: AlignConfig):
         k_prime, k_drop = jax.random.split(rng)
         images_ref = batch["image_ref"]
         images_trg = batch["image_trg"]
-        H, W = images_trg.shape[1:3]
 
         prime = jax.lax.stop_gradient(
             prepare_alignment_batch(k_prime, images_ref, images_trg, cfg))
         idx = prime["prime_trg_idx"]
+
+        if cfg.crop_after_flow is not None:
+            # reference CenterCrop after CompositeFlow: the flow was
+            # synthesized on the full (e.g. 750^2) grid; crop images, prime,
+            # flow and mask consistently (displacements are relative, so
+            # the cropped flow stays valid)
+            th, tw = cfg.crop_after_flow
+            h0, w0 = images_trg.shape[1:3]
+            top = int(round((h0 - th) / 2.0))
+            left = int(round((w0 - tw) / 2.0))
+
+            def cc(x):
+                return x[:, top:top + th, left:left + tw]
+
+            images_ref = cc(images_ref)
+            images_trg = cc(images_trg)
+            prime = dict(prime,
+                         image_prime=cc(prime["image_prime"]),
+                         flow_prime=cc(prime["flow_prime"]),
+                         mask_prime=cc(prime["mask_prime"]))
+        H, W = images_trg.shape[1:3]
 
         (pyrs, pyrs256) = jax.lax.stop_gradient(extract_pyramids(
             backbone, _cast(state.backbone_params),

@@ -110,7 +110,12 @@ class MegaDepth:
             del info
 
     def sample_new_items(self, seed: int = 400):
-        """Per-epoch pair resampling (reference megadepth.py:174-253)."""
+        """Pair (re)sampling — reference-exact (megadepth.py:174-253),
+        including its quirks: called ONCE from __init__ (the reference has
+        no per-epoch resampling call site either) and a fresh
+        RandomState(seed) per scene, so scene selections share one
+        stream.  Coverage across a 400k-step run comes from the 30k
+        virtual epoch length + per-epoch loader shuffle."""
         self.items = []
         num = self.cfg[self.split + "_num_per_scene"]
         for scene in self.scenes:

@@ -75,6 +75,18 @@ class DataLoader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def _put(item) -> bool:
+            # bounded put that polls the stop event: an abandoned iterator
+            # (early break) must not leave this thread blocked forever on a
+            # full queue, leaking the pool and a collated batch
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.5)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def produce():
             try:
                 for b in batches:
@@ -82,9 +94,14 @@ class DataLoader:
                         return
                     samples = list(pool.map(
                         self.dataset.__getitem__, b))
-                    q.put(collate(samples))
+                    if not _put(("ok", collate(samples))):
+                        return
+            except BaseException as e:
+                # a corrupt sample must surface in the training loop, not
+                # masquerade as a silently-short epoch
+                _put(("err", e))
             finally:
-                q.put(None)
+                _put(None)
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()
@@ -93,7 +110,10 @@ class DataLoader:
                 item = q.get()
                 if item is None:
                     break
-                yield item
+                kind, payload = item
+                if kind == "err":
+                    raise payload
+                yield payload
         finally:
             stop.set()
             pool.shutdown(wait=False)

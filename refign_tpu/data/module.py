@@ -104,17 +104,54 @@ class CombinedDataModule:
             assert self.batch_size % len(self.train_on) == 0, \
                 "batch size must divide evenly among train datasets"
 
-        # build transform pipelines; strip CompositeFlow to device side
+        # build transform pipelines; strip CompositeFlow AND the
+        # image_prime-only photometric transforms to the device side (the
+        # prime view is synthesized on device, so host-decoding/augmenting
+        # it would be wasted work — and its augs must still happen)
+        self.prime_photometric_settings: dict = {}
+        self.normalize_settings: Optional[dict] = None
         for stage in ("train", "val", "test", "predict"):
             for conf in self.stage_config[stage]:
                 specs = conf.pop("transforms", None)
                 pipeline = []
+                prime_stripped = False
                 for spec in (specs or []):
                     t = _instantiate_transform(spec)
                     if isinstance(t, T.CompositeFlow):
                         self.composite_flow_settings = t.settings
+                        prime_stripped = True
                         continue
+                    if prime_stripped and isinstance(t, T.CenterCrop):
+                        # reference order: crop AFTER the synthetic flow
+                        # (uawarpc_stage1.yaml: CompositeFlow then
+                        # CenterCrop 520 on the 750-dim batch) — the crop
+                        # moves to the device alongside the flow
+                        self.composite_flow_settings = dict(
+                            self.composite_flow_settings or {},
+                            crop_after_flow=tuple(t.size))
+                        continue
+                    if (getattr(t, "apply_keys", None) == ["image_prime"]
+                            and isinstance(t, (T.ColorJitter,
+                                               T.ChannelShuffle,
+                                               T.RandomGaussianBlur))):
+                        pp = self.prime_photometric_settings
+                        if isinstance(t, T.ColorJitter):
+                            pp["jitter"] = (t.brightness, t.contrast,
+                                            t.saturation, t.hue)
+                        elif isinstance(t, T.ChannelShuffle):
+                            pp["channel_shuffle"] = True
+                        else:
+                            pp["blur"] = (t.p, t.kernel_size,
+                                          t.sigma[0], t.sigma[1])
+                        continue
+                    if stage == "train" and isinstance(t, T.Normalize):
+                        self.normalize_settings = {
+                            "mean": tuple(float(v) for v in t.mean),
+                            "std": tuple(float(v) for v in t.std)}
                     pipeline.append(t)
+                if prime_stripped and "load_keys" in conf:
+                    conf["load_keys"] = [k for k in conf["load_keys"]
+                                         if k != "image_prime"]
                 conf["transforms"] = (T.Compose(pipeline) if pipeline
                                       else T.Compose([T.ToTensor()]))
 
@@ -161,7 +198,7 @@ class CombinedDataModule:
                           ) -> Dict[str, Any]:
         out: Dict[str, Any] = {}
         src_x, src_y, trg, ref = [], [], [], []
-        prime, prime_flow, prime_mask, prime_idx = [], [], [], []
+        prime, prime_idx = [], []
         for sb in sub_batches:
             if "semantic" in sb:
                 src_x.append(sb["image"])
@@ -173,8 +210,6 @@ class CombinedDataModule:
                     ref.append(sb["image_ref"])
                 if "image_prime" in sb:
                     prime.append(sb["image_prime"])
-                    prime_flow.append(sb.get("image_prime_flow"))
-                    prime_mask.append(sb.get("image_prime_mask"))
                     prime_idx.append(sb.get("image_prime_idx"))
         if src_x:
             out["image_src"] = np.concatenate(src_x)

@@ -456,6 +456,8 @@ class RandomGaussianBlur(_KeyedTransform):
                  sigma=(0.1, 2.0)):
         super().__init__(apply_keys)
         self.p = p
+        self.kernel_size = kernel_size  # host path blurs via PIL radius;
+        # kept for the device-side prime-aug settings (data/module.py)
         self.sigma = sigma if isinstance(sigma, (tuple, list)) else (
             sigma, sigma)
 

@@ -209,7 +209,11 @@ class MixVisionTransformer(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array,
-                 deterministic: bool = True) -> List[jax.Array]:
+                 deterministic: bool = True,
+                 train: bool = False) -> List[jax.Array]:
+        # `train` is accepted for backbone-interface uniformity (ResNet's BN
+        # needs it; MiT has no BN — dropout/droppath follow `deterministic`)
+        del train
         cfg = ARCH_SETTINGS[self.model_type]
         depths = cfg["depths"]
         dpr = np.linspace(0, self.drop_path_rate, sum(depths)).tolist()

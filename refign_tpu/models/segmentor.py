@@ -75,11 +75,13 @@ class Segmentor(nn.Module):
 
     def features(self, x: jax.Array, train: bool = False,
                  deterministic: bool = True):
-        return self.backbone(x, deterministic=deterministic)
+        return self.backbone(x, train=train,
+                             deterministic=deterministic)
 
     def logits(self, x: jax.Array, train: bool = False,
                deterministic: bool = True) -> jax.Array:
-        feats = self.backbone(x, deterministic=deterministic)
+        feats = self.backbone(x, train=train,
+                              deterministic=deterministic)
         return self.head(feats, train=train, deterministic=deterministic)
 
     def whole(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -94,7 +96,8 @@ class Segmentor(nn.Module):
 
     def logits_and_features(self, x: jax.Array, train: bool = False,
                             deterministic: bool = True):
-        feats = self.backbone(x, deterministic=deterministic)
+        feats = self.backbone(x, train=train,
+                              deterministic=deterministic)
         return self.head(feats, train=train,
                          deterministic=deterministic), feats
 
@@ -123,7 +126,8 @@ class Segmentor(nn.Module):
         hr_x = jax.lax.dynamic_slice(x, (0, oy, ox, 0), (B, ch, cw, 3))
 
         both = jnp.concatenate([lr_x, hr_x], axis=0)
-        both_feats = self.backbone(both, deterministic=deterministic)
+        both_feats = self.backbone(both, train=train,
+                                   deterministic=deterministic)
         lr_feats = [f[:B] for f in both_feats]
         both_seg = self.head(both_feats, train=train,
                              deterministic=deterministic)
@@ -177,7 +181,7 @@ class Segmentor(nn.Module):
         # spread the (1 LR + n_crops HR) row batch across the active compute
         # mesh — a v5e-8 runs 8 crops' backbone passes concurrently
         both = shard_rows(jnp.concatenate([lr_x, crops], axis=0))
-        both_feats = self.backbone(both, deterministic=True)
+        both_feats = self.backbone(both, train=train, deterministic=True)
         lr_feats = [f[:B] for f in both_feats]
         both_seg = self.head(both_feats, train=train, deterministic=True)
         lr_seg, crop_seg = both_seg[:B], both_seg[B:]

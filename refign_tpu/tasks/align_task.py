@@ -40,7 +40,15 @@ class AlignTask:
             margs["alignment_head"])
         cf = dict(datamodule.composite_flow_settings or {})
         cf.pop("apply_keys", None)
+        pp = getattr(datamodule, "prime_photometric_settings", {}) or {}
+        norm = getattr(datamodule, "normalize_settings", None) or {}
         self.align_cfg = AlignConfig(
+            prime_jitter=pp.get("jitter"),
+            prime_channel_shuffle=pp.get("channel_shuffle", False),
+            prime_blur=pp.get("blur"),
+            crop_after_flow=cf.get("crop_after_flow"),
+            norm_mean=norm.get("mean", (0.485, 0.456, 0.406)),
+            norm_std=norm.get("std", (0.229, 0.224, 0.225)),
             apply_constant_flow_weights=margs.get(
                 "apply_constant_flow_weights", False),
             include_transforms=tuple(cf.get("include_transforms",

@@ -228,12 +228,16 @@ class SegTask:
                 if groups[src]["batch_stats"]:
                     s[dst] = groups[src]["batch_stats"]
         imnet = state.imnet_params
+        imnet_stats = state.imnet_batch_stats
         if "imnet_backbone" in groups and imnet is not None:
             imnet = groups["imnet_backbone"]["params"]
+            if groups["imnet_backbone"]["batch_stats"]:
+                imnet_stats = groups["imnet_backbone"]["batch_stats"]
         return state._replace(params=params, batch_stats=stats,
                               teacher_params=tparams,
                               teacher_batch_stats=tstats,
-                              imnet_params=imnet)
+                              imnet_params=imnet,
+                              imnet_batch_stats=imnet_stats)
 
     # ----------------------------------------------------------------- infer
 

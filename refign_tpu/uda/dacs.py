@@ -146,26 +146,37 @@ def _adjust_hue(img, f):
     return _hsv_to_rgb(jnp.stack([h, hsv[..., 1], hsv[..., 2]], axis=-1))
 
 
-def color_jitter_image(rng: jax.Array, img: jax.Array,
-                       s: float = 0.2) -> jax.Array:
-    """Jitter ONE denormalized (H, W, 3) image in [0,1]."""
+def color_jitter_bcsh(rng: jax.Array, img: jax.Array, b: float, c: float,
+                      s: float, h: float) -> jax.Array:
+    """torchvision ColorJitter(b, c, s, h) on ONE denormalized (H, W, 3)
+    image in [0,1]: factors ~ U(max(0,1-v), 1+v) (U(-h,h) for hue),
+    applied in a random order.  Statically-zero strengths become no-op
+    branches (torchvision skips them; also avoids compiling the HSV
+    round-trip when hue is disabled, as in the alignment prime augs)."""
     k_order, kb, kc, ks, kh = jax.random.split(rng, 5)
-    fb = jax.random.uniform(kb, (), minval=1 - s, maxval=1 + s)
-    fc = jax.random.uniform(kc, (), minval=1 - s, maxval=1 + s)
-    fs = jax.random.uniform(ks, (), minval=1 - s, maxval=1 + s)
-    fh = jax.random.uniform(kh, (), minval=-s, maxval=s)
+    fb = jax.random.uniform(kb, (), minval=max(0.0, 1 - b), maxval=1 + b)
+    fc = jax.random.uniform(kc, (), minval=max(0.0, 1 - c), maxval=1 + c)
+    fs = jax.random.uniform(ks, (), minval=max(0.0, 1 - s), maxval=1 + s)
+    fh = jax.random.uniform(kh, (), minval=-h, maxval=h)
     order = jax.random.permutation(k_order, 4)
 
     def apply_op(i, im):
         idx = order[i]
         return jax.lax.switch(idx, [
-            lambda x: _adjust_brightness(x, fb),
-            lambda x: _adjust_contrast(x, fc),
-            lambda x: _adjust_saturation(x, fs),
-            lambda x: _adjust_hue(x, fh),
+            (lambda x: _adjust_brightness(x, fb)) if b else (lambda x: x),
+            (lambda x: _adjust_contrast(x, fc)) if c else (lambda x: x),
+            (lambda x: _adjust_saturation(x, fs)) if s else (lambda x: x),
+            (lambda x: _adjust_hue(x, fh)) if h else (lambda x: x),
         ], im)
 
     return jax.lax.fori_loop(0, 4, apply_op, img)
+
+
+def color_jitter_image(rng: jax.Array, img: jax.Array,
+                       s: float = 0.2) -> jax.Array:
+    """Jitter ONE denormalized (H, W, 3) image in [0,1] (DACS flavor:
+    one strength for all four ops)."""
+    return color_jitter_bcsh(rng, img, s, s, s, s)
 
 
 # ---------------------------------------------------------------------------
@@ -177,12 +188,16 @@ def _gauss_kernel_size(dim: int) -> int:
                           + math.ceil(0.1 * dim) % 2))
 
 
-def gaussian_blur_image(img: jax.Array, sigma: jax.Array) -> jax.Array:
+def gaussian_blur_image(img: jax.Array, sigma: jax.Array,
+                        kernel_size: int = None) -> jax.Array:
     """Separable Gaussian blur of one (H, W, C) image, reflect padding.
-    Kernel sizes follow the reference's ~0.1*dim odd rule
-    (dacs_transforms.py:66-74)."""
+    Kernel sizes default to the reference DACS ~0.1*dim odd rule
+    (dacs_transforms.py:66-74); pass ``kernel_size`` for the torchvision
+    GaussianBlur(kernel_size=...) flavor (alignment prime augs)."""
     H, W, _ = img.shape
-    for axis, k in ((0, _gauss_kernel_size(H)), (1, _gauss_kernel_size(W))):
+    kh = _gauss_kernel_size(H) if kernel_size is None else kernel_size
+    kw = _gauss_kernel_size(W) if kernel_size is None else kernel_size
+    for axis, k in ((0, kh), (1, kw)):
         if k < 1:
             continue
         half = (k - 1) // 2

@@ -72,12 +72,19 @@ class UDATrainState(NamedTuple):
     teacher_params: Any
     teacher_batch_stats: Any
     imnet_params: Any           # frozen init copy of the backbone (fdist)
+    imnet_batch_stats: Any      # frozen BN running stats (eval-mode imnet)
     opt_state: Any
 
 
 def init_uda_state(params, batch_stats, tx, enable_fdist=True):
-    imnet = (jax.tree_util.tree_map(jnp.copy, params["backbone"])
-             if enable_fdist else None)
+    imnet = imnet_stats = None
+    if enable_fdist:
+        imnet = jax.tree_util.tree_map(jnp.copy, params["backbone"])
+        # BN backbones (ResNet/DeepLabV2): the imnet runs in eval mode
+        # (reference imnet_backbone.eval(), segmentation_model.py:596-598)
+        # against the INIT running stats, frozen here
+        imnet_stats = jax.tree_util.tree_map(
+            jnp.copy, (batch_stats or {}).get("backbone", {}))
     return UDATrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,
@@ -85,6 +92,7 @@ def init_uda_state(params, batch_stats, tx, enable_fdist=True):
         teacher_params=jax.tree_util.tree_map(jnp.copy, params),
         teacher_batch_stats=jax.tree_util.tree_map(jnp.copy, batch_stats),
         imnet_params=imnet,
+        imnet_batch_stats=imnet_stats,
         opt_state=tx.init(params),
     )
 
@@ -291,8 +299,15 @@ def make_uda_train_step(segmentor: Segmentor,
                     img = interpolate(
                         img, (img.shape[1] // 2, img.shape[2] // 2),
                         mode="bilinear", align_corners=False)
+                # eval-mode frozen imnet (reference :596-598): BN reads the
+                # init-snapshot running stats; params cast like the student
+                # (the reference runs this forward under the same AMP
+                # autocast as everything else)
+                imnet_vars = {"params": _cast(state.imnet_params)}
+                if state.imnet_batch_stats:
+                    imnet_vars["batch_stats"] = state.imnet_batch_stats
                 imnet_feats = segmentor.backbone.apply(
-                    {"params": state.imnet_params}, img, deterministic=True)
+                    imnet_vars, img.astype(cdt), deterministic=True)
                 lfd = fdist_loss(
                     aux_src["feats"][-1], imnet_feats[-1], gt_src,
                     cfg.fdist_classes, cfg.fdist_scale_min_ratio,

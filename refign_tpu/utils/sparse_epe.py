@@ -81,8 +81,9 @@ class SparseEPE:
         sparse_c = curve(neg_u)
         opt_c = curve(neg_e)
         mmax = opt_c.max() + 1e-6
-        return float(abs(np.trapezoid(sparse_c / mmax, plotx)
-                         - np.trapezoid(opt_c / mmax, plotx)))
+        trapezoid = getattr(np, "trapezoid", None) or np.trapz  # numpy<2
+        return float(abs(trapezoid(sparse_c / mmax, plotx)
+                         - trapezoid(opt_c / mmax, plotx)))
 
     def compute(self) -> Dict[str, float]:
         ns = max(self.nbr_samples, 1)

@@ -197,3 +197,67 @@ def test_align_train_step_runs():
     assert flow.shape == (B, H, W, 2)
     assert uncert.shape == (B, H, W, 1)
     assert np.isfinite(np.asarray(flow)).all()
+
+
+def test_prime_photometric_and_crop_after_flow():
+    """Device-side prime view reproduces the reference's image_prime-only
+    host transforms (ColorJitter 0.6 + ChannelShuffle + GaussianBlur) and
+    the CenterCrop-AFTER-CompositeFlow order (750 -> flow -> 520)."""
+    import jax
+    import jax.numpy as jnp
+    from refign_tpu.alignment.trainer import (AlignConfig,
+                                              prepare_alignment_batch)
+
+    rng = np.random.RandomState(7)
+    B, H, W = 2, 48, 48
+    ref = jnp.asarray(rng.randn(B, H, W, 3), jnp.float32) * 0.3
+    trg = jnp.asarray(rng.randn(B, H, W, 3), jnp.float32) * 0.3
+    key = jax.random.PRNGKey(3)
+
+    plain = AlignConfig()
+    aug = AlignConfig(prime_jitter=(0.6, 0.6, 0.6, 0.0),
+                      prime_channel_shuffle=True,
+                      prime_blur=(0.2, 7, 0.2, 2.0))
+    out_plain = prepare_alignment_batch(key, ref, trg, plain)
+    out_aug = prepare_alignment_batch(key, ref, trg, aug)
+    # photometric augs change the prime image but not the flow supervision
+    assert not np.allclose(np.asarray(out_plain["image_prime"]),
+                           np.asarray(out_aug["image_prime"]))
+    np.testing.assert_array_equal(np.asarray(out_plain["flow_prime"]),
+                                  np.asarray(out_aug["flow_prime"]))
+    np.testing.assert_array_equal(np.asarray(out_plain["mask_prime"]),
+                                  np.asarray(out_aug["mask_prime"]))
+    # deterministic under the same key
+    out_aug2 = prepare_alignment_batch(key, ref, trg, aug)
+    np.testing.assert_array_equal(np.asarray(out_aug["image_prime"]),
+                                  np.asarray(out_aug2["image_prime"]))
+
+    # crop-after-flow: the train step crops images/prime/flow consistently
+    from refign_tpu.alignment.trainer import make_align_train_step
+    from refign_tpu.models.heads.uawarpc import UAWarpCHead
+    from refign_tpu.models.vgg import VGG
+    from refign_tpu.train.optim import make_adam_optimizer
+    from refign_tpu.alignment.trainer import init_align_state
+
+    backbone = VGG(model_type="vgg11", out_indices=(2, 3, 4))
+    head = UAWarpCHead(in_index=(0, 1), estimate_uncertainty=True)
+    kk = jax.random.PRNGKey(0)
+    Hf, Wf, Hc, Wc = 64, 64, 32, 32
+    bv = backbone.init(kk, np.zeros((1, 256, 256, 3), np.float32))
+    feats = backbone.apply(bv, np.zeros((1, Hc, Wc, 3), np.float32),
+                           extract_only_indices=[-3, -2])
+    f256 = backbone.apply(bv, np.zeros((1, 256, 256, 3), np.float32),
+                          extract_only_indices=[-2, -1])
+    hv = head.init(kk, feats, feats, f256, f256, (Hc, Wc))
+    tx, _ = make_adam_optimizer(1e-4, [100], weight_decay=4e-4)
+    state = init_align_state(hv, bv["params"], tx)
+    cfg = AlignConfig(crop_after_flow=(Hc, Wc), compute_dtype="float32",
+                      prime_jitter=(0.6, 0.6, 0.6, 0.0),
+                      prime_channel_shuffle=True,
+                      prime_blur=(0.2, 7, 0.2, 2.0))
+    step = jax.jit(make_align_train_step(backbone, head, tx, cfg))
+    batch = {"image_ref": jnp.asarray(rng.randn(B, Hf, Wf, 3), jnp.float32),
+             "image_trg": jnp.asarray(rng.randn(B, Hf, Wf, 3), jnp.float32)}
+    new_state, logs = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(logs["train_matching_loss"]))
+    assert int(new_state.step) == 1

@@ -54,3 +54,48 @@ def test_normal_flow():
     assert p.next() == 84
     assert p.next() == 84
     p.close()
+
+
+class _FlakyDataset:
+    def __init__(self, n=8, bad=5):
+        self.n, self.bad = n, bad
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        if i == self.bad:
+            raise ValueError("corrupt sample")
+        import numpy as np
+        return {"image": np.zeros((4, 4, 3), np.uint8)}
+
+
+def test_dataloader_surfaces_dataset_errors():
+    """A corrupt sample must raise in the consumer, not silently end the
+    epoch early (regression)."""
+    from refign_tpu.data.loader import DataLoader
+    loader = DataLoader(_FlakyDataset(), batch_size=2, num_workers=2)
+    with pytest.raises(ValueError, match="corrupt sample"):
+        for _ in loader:
+            pass
+
+
+def test_dataloader_abandoned_iterator_does_not_leak_producer():
+    """Breaking out of iteration early must let the producer thread exit
+    (regression: it blocked forever in q.put on the full queue)."""
+    import threading
+
+    from refign_tpu.data.loader import DataLoader
+
+    n0 = threading.active_count()
+    loader = DataLoader(_FlakyDataset(n=64, bad=-1), batch_size=2,
+                        num_workers=2, prefetch=1)
+    for _ in range(3):
+        it = iter(loader)
+        next(it)
+        it.close()  # generator finally -> stop.set()
+    deadline = time.time() + 10
+    while threading.active_count() > n0 and time.time() < deadline:
+        time.sleep(0.1)
+    assert threading.active_count() <= n0, (
+        f"{threading.active_count() - n0} leaked threads")

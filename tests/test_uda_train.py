@@ -112,3 +112,41 @@ def test_uda_train_step_refign_align():
     new_state2, logs2 = step(state, batch, align_params, key,
                              use_ref_as_target=True)
     assert np.isfinite(float(logs2["train_loss_total"]))
+
+
+def test_uda_train_step_bn_backbone_fdist():
+    """DeepLabV2-style config: ResNet (BatchNorm) student + fdist.  The
+    frozen imnet forward must run eval-mode BN against the init-snapshot
+    running stats (regression: the apply provided no batch_stats and
+    crashed on the first step), and the student's BN must actually run in
+    batch-stats mode (train=True reaches the backbone through Segmentor)."""
+    from refign_tpu.models.heads.deeplabv2 import DeepLabV2Head
+    from refign_tpu.models.resnet import ResNet
+
+    seg = Segmentor(
+        backbone=ResNet(model_type="resnet18_v1c", strides=(1, 2, 1, 1),
+                        dilations=(1, 1, 2, 4)),
+        head=DeepLabV2Head(num_classes=19, in_index=3))
+    rng = np.random.RandomState(1)
+    batch = _batch(rng)
+    key = jax.random.PRNGKey(1)
+    variables = seg.init(key, batch["image_src"],
+                         method=Segmentor.logits_and_features)
+    cfg = UDAConfig(use_hrda=False, use_refign=False, enable_fdist=True)
+    tx, _ = make_uda_optimizer(variables["params"], 6e-4, 0.01, 100)
+    state = init_uda_state(variables["params"],
+                           variables["batch_stats"], tx)
+    step = make_uda_train_step(seg, None, None, tx, cfg)
+    new_state, logs = step(state, batch, None, key)
+    assert np.isfinite(float(logs["train_loss_total"]))
+    assert np.isfinite(float(logs["train_loss_featdist_src"]))
+
+    # imnet stats stayed frozen at the init snapshot
+    i0 = jax.tree_util.tree_leaves(state.imnet_batch_stats)[0]
+    i1 = jax.tree_util.tree_leaves(new_state.imnet_batch_stats)[0]
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    # the student's BN running stats DID update (train mode reached BN)
+    s0 = jax.tree_util.tree_leaves(state.batch_stats)
+    s1 = jax.tree_util.tree_leaves(new_state.batch_stats)
+    assert any(not np.allclose(np.asarray(a), np.asarray(b))
+               for a, b in zip(s0, s1)), "BN stats never updated"
