@@ -67,8 +67,14 @@ class DAFormerHead(nn.Module):
     @nn.compact
     def __call__(self, inputs: Sequence[jax.Array], train: bool = False,
                  deterministic: bool = True) -> jax.Array:
+        # this head's fusion structurally needs per-scale features; fail
+        # loudly on a configured transform it cannot honor instead of
+        # silently ignoring the field
+        assert self.input_transform == "multiple_select", (
+            f"DAFormerHead supports input_transform='multiple_select' "
+            f"only, got {self.input_transform!r}")
         feats = transform_inputs(inputs, list(self.in_index),
-                                 "multiple_select")
+                                 self.input_transform)
         size = feats[0].shape[1:3]
         embedded = []
         for i, f in enumerate(feats):

@@ -32,8 +32,11 @@ class SegFormerHead(nn.Module):
     @nn.compact
     def __call__(self, inputs: Sequence[jax.Array], train: bool = False,
                  deterministic: bool = True) -> jax.Array:
+        assert self.input_transform == "multiple_select", (
+            f"SegFormerHead supports input_transform='multiple_select' "
+            f"only, got {self.input_transform!r}")
         c1, c2, c3, c4 = transform_inputs(inputs, list(self.in_index),
-                                          "multiple_select")
+                                          self.input_transform)
         size = c1.shape[1:3]
 
         def embed_up(c, name):

@@ -22,10 +22,20 @@ _LIB = None
 
 
 def _build() -> None:
+    # compile to a pid-unique temp path and rename into place: os.rename is
+    # atomic, so a concurrent process either loads the old complete .so or
+    # the new complete one — never a half-written ELF (the in-process lock
+    # cannot guard cross-process races, e.g. pytest-xdist workers)
     src = os.path.join(_HERE, "correlation.cc")
+    tmp = f"{_LIB_PATH}.tmp.{os.getpid()}"
     cmd = ["g++", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC",
-           src, "-o", _LIB_PATH]
-    subprocess.run(cmd, check=True, capture_output=True)
+           src, "-o", tmp]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True)
+        os.rename(tmp, _LIB_PATH)
+    finally:
+        if os.path.exists(tmp):
+            os.remove(tmp)
 
 
 def get_lib() -> ctypes.CDLL:

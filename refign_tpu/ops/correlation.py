@@ -160,7 +160,9 @@ def local_correlation(target: jax.Array, source: jax.Array,
             host = ("cpu", "gpu", "cuda", "rocm")
             dev = getattr(jax.config, "jax_default_device", None)
             if dev is not None:
-                use_pallas = dev.platform not in host
+                # jax.default_device accepts a Device OR a platform string
+                platform = dev if isinstance(dev, str) else dev.platform
+                use_pallas = platform.lower() not in host
             else:
                 use_pallas = jax.default_backend() not in host
     if use_pallas:

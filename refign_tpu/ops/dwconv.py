@@ -132,13 +132,19 @@ def _dwconv3x3_gelu_xla(x: jax.Array, w: jax.Array,
     ops instead of lowering a grouped conv."""
     B, H, W, C = x.shape
     from ..nn.layers import gelu
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    # fp32 multiply-accumulate even for bf16 inputs: this formulation is
+    # also the custom_vjp backward of the Pallas kernel, whose forward
+    # accumulates in fp32 — the two must compute the same function
+    dt = x.dtype
+    xp = jnp.pad(x.astype(jnp.float32), ((0, 0), (1, 1), (1, 1), (0, 0)))
+    w32 = w.astype(jnp.float32)
+    b32 = b.astype(jnp.float32)
     acc = None
     for i in range(3):
         for j in range(3):
-            t = xp[:, i:i + H, j:j + W, :] * w[i, j, 0]
+            t = xp[:, i:i + H, j:j + W, :] * w32[i, j, 0]
             acc = t if acc is None else acc + t
-    return gelu(acc + b)
+    return gelu(acc + b32).astype(dt)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))

@@ -165,7 +165,14 @@ def interpolate(x: jax.Array,
         return x
     # matmul-based modes run in the input dtype with fp32 accumulation:
     # exact for fp32 inputs; for bf16 the weight rounding (~1e-3) is well
-    # inside the reference's fp16-AMP interpolate error
+    # inside the reference's fp16-AMP interpolate error.  Integer inputs
+    # would silently truncate every fractional weight to 0 — torch raises
+    # for them too, so fail loudly (use mode='nearest' for label maps).
+    if not jnp.issubdtype(x.dtype, jnp.floating):
+        raise TypeError(
+            f"interpolate mode '{mode}' requires a floating dtype, got "
+            f"{x.dtype} (torch.nn.functional.interpolate raises here too; "
+            "use mode='nearest' for integer label maps)")
     if mode == "bilinear":
         assert align_corners is not None, "bilinear requires align_corners"
         x = _resize_axis_linear(x, ah, oh, align_corners)
