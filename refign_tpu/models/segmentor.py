@@ -53,15 +53,21 @@ def fold_crops(crop_logits: jax.Array, boxes, img_size: Tuple[int, int],
     """Scatter-add per-crop logits back onto the full grid and average by
     visit count.  crop_logits: (n_crops*B, ch, cw, C) stacked like the
     reference's torch.cat (crop-major)."""
+    import numpy as np
     h_img, w_img = img_size
     C = crop_logits.shape[-1]
     preds = jnp.zeros((batch, h_img, w_img, C), crop_logits.dtype)
-    count = jnp.zeros((1, h_img, w_img, 1), crop_logits.dtype)
+    # the visit-count matrix depends only on the STATIC box grid — build
+    # it host-side as one constant instead of a chain of scatter-adds XLA
+    # would spend seconds constant-folding at compile time (observed in
+    # the flagship-geometry dryrun's slow-operation alarms)
+    count_np = np.zeros((1, h_img, w_img, 1), np.float32)
+    for (y1, y2, x1, x2) in boxes:
+        count_np[:, y1:y2, x1:x2, :] += 1.0
     for i, (y1, y2, x1, x2) in enumerate(boxes):
         piece = crop_logits[i * batch:(i + 1) * batch]
         preds = preds.at[:, y1:y2, x1:x2, :].add(piece)
-        count = count.at[:, y1:y2, x1:x2, :].add(1.0)
-    return preds / count
+    return preds / jnp.asarray(count_np, crop_logits.dtype)
 
 
 class Segmentor(nn.Module):
