@@ -61,11 +61,21 @@ def main():
 
     img = jnp.asarray(np.random.randn(1, 1080, 1920, 3), jnp.bfloat16)
 
-    def sync(x):
-        # On the axon tunnel block_until_ready returns before execution
-        # completes; a scalar d2h fetch is the only true barrier (the full
-        # logits tensor would add seconds of transfer, a scalar ~45ms RPC).
-        np.asarray(jax.device_get(x[(0,) * x.ndim]))
+    # canonical honest-timing loop (tools/_timing.py): chained inputs force
+    # every iteration to execute on the axon relay, scalar d2h fetch is the
+    # barrier, and the idle-queue fetch RPC baseline is subtracted —
+    # identical methodology to every other bench tool in this repo
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "tools"))
+    from _timing import chained_timeit, sync_scalar
+
+    def chain(args, out):
+        # add a zero-scaled scalar of the output to the input: identical
+        # math, but makes each iteration depend on the previous one
+        (im,) = args
+        return (im + (out[0, 0, 0, 0] * 0).astype(im.dtype),)
 
     # warmup / compile — the axon remote-compile service fails transiently
     # (HTTP 500 / env-init races); retry a few times before giving up
@@ -73,30 +83,19 @@ def main():
         try:
             out = forward(img)
             # also warm the tiny chaining add (compiles are slow on axon)
-            img = img + (out[0, 0, 0, 0] * 0).astype(img.dtype)
-            sync(forward(img))
+            (img,) = chain((img,), out)
+            sync_scalar(forward(img))
             break
         except Exception as e:  # jax.errors.JaxRuntimeError and friends
             if attempt == 3:
                 raise
-            import sys
             print(f"compile attempt {attempt + 1} failed "
                   f"({type(e).__name__}); retrying", file=sys.stderr,
                   flush=True)
             time.sleep(10)
 
-    n_iter = 10
-    t0 = time.perf_counter()
-    for _ in range(n_iter):
-        out = forward(img)
-        # chain a scalar of the output back into the next input: identical
-        # math (adds 0), but forces every iteration to actually execute
-        # (identical-argument re-dispatches are not reliably timed on axon
-        # — see PARITY.md "Round-2 measurement methodology fix")
-        img = img + (out[0, 0, 0, 0] * 0).astype(img.dtype)
-    sync(out)
-    dt = time.perf_counter() - t0
-    img_per_s = n_iter / dt
+    ms_per_img = chained_timeit(forward, chain, img, iters=10)
+    img_per_s = 1e3 / ms_per_img
 
     print(json.dumps({
         "metric": "hrda_1080p_slide_inference_throughput",

@@ -111,10 +111,38 @@ def multi_scale_flow_loss(flow_output, gt_flow: jax.Array,
     return total
 
 
+def _cyclic_consistency_mask(flow_a: jax.Array, warped_b: jax.Array,
+                             gt_flow: jax.Array,
+                             alpha_1: float, alpha_2: float) -> jax.Array:
+    """Forward-backward occlusion mask (reference losses.py:233-250).
+
+    All flows in gt-image pixel units at level resolution; the synthetic
+    flow is bilinearly resized to level resolution WITHOUT value rescaling
+    (reference :237-238).  A pixel is visible when the composition error
+    ||a + b_warped - gt||^2 stays below alpha_1 * (sum of squared
+    magnitudes) + alpha_2.
+    """
+    h, w = flow_a.shape[1:3]
+    gt = interpolate(gt_flow, (h, w), mode="bilinear",
+                     align_corners=False).astype(jnp.float32)
+    fa = jax.lax.stop_gradient(flow_a).astype(jnp.float32)
+    wb = jax.lax.stop_gradient(warped_b).astype(jnp.float32)
+
+    def length_sq(x):
+        return jnp.sum(x * x, axis=-1)
+
+    mag_sq = length_sq(fa) + length_sq(wb) + length_sq(gt)
+    occluded = length_sq(fa + wb - gt) > (alpha_1 * mag_sq + alpha_2)
+    return ~occluded
+
+
 def wbipath_loss(flows_tp_to_s, flows_s_to_t, gt_flow: jax.Array,
                  mask_used: Optional[jax.Array],
                  loss_type: str = "HuberLoss",
-                 level_weights: Optional[Sequence[float]] = None
+                 level_weights: Optional[Sequence[float]] = None,
+                 visibility_mask: bool = False,
+                 alpha_1: float = 0.03,
+                 alpha_2: float = 0.5,
                  ) -> jax.Array:
     """W-bipath composition loss (reference losses.py:256-328).
 
@@ -123,6 +151,9 @@ def wbipath_loss(flows_tp_to_s, flows_s_to_t, gt_flow: jax.Array,
         (flow, uncert (B,h,w,1)) tuples, in gt-image pixel units.
       gt_flow: (B, H, W, 2) synthetic flow target_prime -> target.
       mask_used: (B, H, W) validity of the synthetic flow.
+      visibility_mask: apply the cyclic-consistency (occlusion) mask
+        (reference losses.py:314-318; ``visibility_mask: True`` in
+        configs/megadepth/uawarpc_stage2.yaml:144).
     """
     H, W = gt_flow.shape[1:3]
     if not isinstance(flows_tp_to_s, (list, tuple)):
@@ -156,6 +187,9 @@ def wbipath_loss(flows_tp_to_s, flows_s_to_t, gt_flow: jax.Array,
         m = gt_correspondence_mask(jax.lax.stop_gradient(warp_flow))
         if mask_used is not None:
             m = m & _downsample_mask(mask_used, (h, w))
+        if visibility_mask:
+            m = m & _cyclic_consistency_mask(flow_a, warped_b, gt_flow,
+                                             alpha_1, alpha_2)
         masks.append(m)
 
     return multi_scale_flow_loss(composed, gt_flow, mask=masks,

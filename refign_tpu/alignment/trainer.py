@@ -31,6 +31,11 @@ class AlignConfig:
     loss_type: str = "HuberLoss"
     apply_constant_flow_weights: bool = False
     level_weights: Optional[Tuple[float, ...]] = None
+    # WBipathLoss cyclic-consistency visibility mask (reference
+    # losses.py:233-250,314-318; stage-2 sets visibility_mask: True)
+    visibility_mask: bool = False
+    alpha_1: float = 0.03
+    alpha_2: float = 0.5
     # CompositeFlow settings (configs/megadepth/uawarpc_stage1.yaml:44-60)
     include_transforms: Tuple[str, ...] = ("hom", "tps", "afftps")
     random_alpha: float = 0.26
@@ -249,7 +254,9 @@ def make_align_train_step(backbone, head, tx, cfg: AlignConfig):
                 loss_type=cfg.loss_type, level_weights=cfg.level_weights)
             us = wbipath_loss(
                 prime_j, j_i, prime["flow_prime"], prime["mask_prime"],
-                loss_type=cfg.loss_type, level_weights=cfg.level_weights)
+                loss_type=cfg.loss_type, level_weights=cfg.level_weights,
+                visibility_mask=cfg.visibility_mask,
+                alpha_1=cfg.alpha_1, alpha_2=cfg.alpha_2)
             w_ss, w_us = adaptive_loss_weights(
                 jax.lax.stop_gradient(ss), jax.lax.stop_gradient(us),
                 weight_ss=float(cfg.apply_constant_flow_weights))

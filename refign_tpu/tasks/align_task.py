@@ -42,6 +42,7 @@ class AlignTask:
         cf.pop("apply_keys", None)
         pp = getattr(datamodule, "prime_photometric_settings", {}) or {}
         norm = getattr(datamodule, "normalize_settings", None) or {}
+        us_args = (margs.get("unsupervised_loss") or {}).get("init_args", {})
         self.align_cfg = AlignConfig(
             prime_jitter=pp.get("jitter"),
             prime_channel_shuffle=pp.get("channel_shuffle", False),
@@ -51,6 +52,9 @@ class AlignTask:
             norm_std=norm.get("std", (0.229, 0.224, 0.225)),
             apply_constant_flow_weights=margs.get(
                 "apply_constant_flow_weights", False),
+            visibility_mask=us_args.get("visibility_mask", False),
+            alpha_1=us_args.get("alpha_1", 0.03),
+            alpha_2=us_args.get("alpha_2", 0.5),
             include_transforms=tuple(cf.get("include_transforms",
                                             ("hom", "tps", "afftps"))),
             random_alpha=cf.get("random_alpha", 0.26),

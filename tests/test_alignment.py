@@ -75,6 +75,39 @@ def test_wbipath_loss_matches_reference():
     assert abs(got - want) < 1e-3 * max(1, abs(want)), (got, want)
 
 
+def test_wbipath_visibility_mask_matches_reference():
+    # stage-2 path: WBipathLoss(visibility_mask=True) adds the
+    # cyclic-consistency occlusion mask (reference losses.py:233-250,314-318)
+    losses = ref_oracle.load_ref_module("models.losses")
+    ref_loss = losses.WBipathLoss(objective="multi_scale_flow_loss",
+                                  loss_type="HuberLoss",
+                                  visibility_mask=True)
+    rng = np.random.RandomState(7)
+    B, H, W = 2, 32, 48
+    shapes = [(4, 6), (8, 12), (16, 24), (32, 48)]
+    pyr_a = _pyramid(rng, B, shapes)
+    pyr_b = _pyramid(rng, B, shapes)
+    gt = rng.randn(B, H, W, 2).astype(np.float32) * 3
+    mask = (rng.rand(B, H, W) > 0.3)
+
+    want = ref_loss(
+        [(_nchw(f), _nchw(u)) for f, u in pyr_a],
+        [(_nchw(f), _nchw(u)) for f, u in pyr_b],
+        _nchw(gt), torch.from_numpy(mask)).item()
+    got = float(wbipath_loss(
+        [(jnp.asarray(f), jnp.asarray(u)) for f, u in pyr_a],
+        [(jnp.asarray(f), jnp.asarray(u)) for f, u in pyr_b],
+        jnp.asarray(gt), jnp.asarray(mask), loss_type="HuberLoss",
+        visibility_mask=True))
+    assert abs(got - want) < 1e-3 * max(1, abs(want)), (got, want)
+    # the mask must actually bite: loss differs from the unmasked variant
+    got_off = float(wbipath_loss(
+        [(jnp.asarray(f), jnp.asarray(u)) for f, u in pyr_a],
+        [(jnp.asarray(f), jnp.asarray(u)) for f, u in pyr_b],
+        jnp.asarray(gt), jnp.asarray(mask), loss_type="HuberLoss"))
+    assert abs(got - got_off) > 1e-6, (got, got_off)
+
+
 def test_adaptive_weights_match_reference_formula():
     # expected values hand-derived from alignment_model.py:217-232 with the
     # reference's positional-arg quirk (apply_constant_flow_weights=False

@@ -74,6 +74,15 @@ def test_config_builds_task(path):
         if "stage2" in path:
             assert task.align_cfg.add_elastic
             assert task.align_cfg.random_t_hom == 0.4
+            # reference uawarpc_stage2.yaml:144 sets visibility_mask: True
+            assert task.align_cfg.visibility_mask
+        if "stage1" in path:
+            assert not task.align_cfg.visibility_mask
+    if "robotcar" in path:
+        # reference robotcar configs set over_present_classes: True
+        for specs in task.metrics_cfg.get("test", {}).values():
+            for _name, args in specs:
+                assert args.get("over_present_classes", False)
 
 
 # the six ablation rows toggle exactly these UDAConfig flags (reference

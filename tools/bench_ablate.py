@@ -291,12 +291,15 @@ def run_bench(tiny_heads: bool = False):
             print(f"  compile retry ({type(e).__name__})", file=sys.stderr,
                   flush=True)
             time.sleep(10)
-    n = 10
-    t0 = time.perf_counter()
-    for _ in range(n):
-        out = forward(img)
-    _sync(out)
-    return (time.perf_counter() - t0) / n
+    from _timing import chained_timeit
+
+    def chain(args, out):
+        # feed a zero-scaled scalar of the output back into the input:
+        # identical math, forces every iteration on the relay
+        (im,) = args
+        return (im + (out[0, 0, 0, 0] * 0).astype(im.dtype),)
+
+    return chained_timeit(forward, chain, img, iters=10) / 1e3
 
 
 def main():

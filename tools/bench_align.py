@@ -24,19 +24,23 @@ def _sync(x):
 
 
 def timeit(fn, *args, iters=10):
+    """Chained-input honest timing (seconds/iter) — see tools/_timing.py.
+
+    Generic chain: adds a zero-scaled scalar of the previous output to the
+    first array leaf of the args pytree (identical math, but every
+    iteration's input depends on the previous output, so the relay cannot
+    elide re-dispatches)."""
     import jax
-    out = fn(*args)
-    _sync(out)
-    out = fn(*args)
-    _sync(out)
-    t0 = time.perf_counter()
-    _sync(out)
-    rpc = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)          # unchained: rely on queue backpressure
-    _sync(out)
-    return max(time.perf_counter() - t0 - rpc, 1e-9) / iters
+    from _timing import chained_timeit
+
+    def chain(a, out):
+        leaves, td = jax.tree_util.tree_flatten(a)
+        o0 = jax.tree_util.tree_leaves(out)[0]
+        zero = (o0[(0,) * o0.ndim] * 0).astype(leaves[0].dtype)
+        return jax.tree_util.tree_unflatten(td, [leaves[0] + zero]
+                                            + leaves[1:])
+
+    return chained_timeit(fn, chain, *args, iters=iters) / 1e3
 
 
 def main():

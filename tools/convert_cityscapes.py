@@ -39,7 +39,12 @@ def convert_json_to_label(json_file: str) -> dict:
         if obj.get("deleted"):
             continue
         label = obj["label"]
-        if label.endswith("group"):
+        # cityscapesscripts strips a 'group' suffix only when the label is
+        # NOT itself in name2label; 'polegroup' IS a label (trainId 255),
+        # so it must stay ignored rather than collapse to 'pole'
+        # (cityscapesscripts/helpers/labels.py + json2labelImg semantics,
+        # used by reference tools/convert_cityscapes.py:16-53).
+        if label.endswith("group") and label != "polegroup":
             label = label[:-len("group")]
         tid = NAME_TO_TRAINID.get(label, IGNORE)
         polygon = [tuple(p) for p in obj["polygon"]]
