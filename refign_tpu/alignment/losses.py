@@ -213,11 +213,11 @@ def adaptive_loss_weights(loss_ss: jax.Array, loss_un: jax.Array,
                 jnp.asarray(weight_un, jnp.float32))
     ratio = weight_ss / weight_un
     s_when_un_bigger = jnp.clip(
-        loss_un / jnp.maximum(loss_ss, 1e-8) * ratio, a_max=100.0)
+        loss_un / jnp.maximum(loss_ss, 1e-8) * ratio, max=100.0)
     u_when_ss_bigger = jnp.clip(
         jnp.where(ratio > 0,
                   loss_ss / jnp.maximum(loss_un, 1e-8) / max(ratio, 1e-38),
-                  jnp.inf), a_max=100.0)
+                  jnp.inf), max=100.0)
     un_bigger = loss_un > loss_ss
     s_l_w = jnp.where(un_bigger, s_when_un_bigger, 1.0)
     u_l_w = jnp.where(un_bigger, 1.0, u_when_ss_bigger)

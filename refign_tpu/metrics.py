@@ -7,14 +7,10 @@ be carried through jitted eval steps and reduced across devices with
 """
 from __future__ import annotations
 
-from typing import Dict, NamedTuple, Optional, Tuple
-
 import jax
 import jax.numpy as jnp
-import numpy as np
 
-__all__ = ["iou_init", "iou_update", "iou_compute",
-           "epe_init", "epe_update", "epe_compute"]
+__all__ = ["iou_init", "iou_update", "iou_compute"]
 
 
 # ---------------------------------------------------------------------------
@@ -22,7 +18,14 @@ __all__ = ["iou_init", "iou_update", "iou_compute",
 # ---------------------------------------------------------------------------
 
 def iou_init(num_classes: int) -> jax.Array:
-    """(C, C) int32 confusion matrix accumulator."""
+    """(C, C) int32 confusion matrix accumulator.
+
+    int32 is exact for any single batch (and for psum across devices), but
+    a cell can exceed 2**31 over a large full-dataset evaluation — the
+    reference's torchmetrics confmat is int64.  Long-running hosts should
+    accumulate per-batch counts into a numpy int64 matrix (as
+    tasks/seg_task.py does) rather than chaining one device accumulator.
+    """
     return jnp.zeros((num_classes, num_classes), jnp.int32)
 
 
@@ -73,48 +76,8 @@ def iou_compute(confmat: jax.Array, average: str = "macro",
     raise ValueError(f"unsupported average: {average}")
 
 
-# ---------------------------------------------------------------------------
-# Sparse EPE / PCK for dense matching (reference helpers/metrics.py:35-261)
-# ---------------------------------------------------------------------------
-
-class EPEState(NamedTuple):
-    """Accumulators: total EPE, per-threshold correct counts, total count."""
-    epe_sum: jax.Array           # ()
-    pck_correct: jax.Array       # (len(thresholds),)
-    total: jax.Array             # ()
-
-
-def epe_init(num_thresholds: int = 4) -> EPEState:
-    return EPEState(jnp.zeros(()), jnp.zeros((num_thresholds,)),
-                    jnp.zeros(()))
-
-
-def epe_update(state: EPEState, pred_flow: jax.Array, gt_flow: jax.Array,
-               valid: jax.Array,
-               thresholds: Tuple[float, ...] = (1.0, 3.0, 5.0, 10.0)
-               ) -> EPEState:
-    """Accumulate sparse end-point error and PCK counts.
-
-    Args:
-      pred_flow / gt_flow: (N, 2) flows at valid correspondence points.
-      valid: (N,) bool — which rows are real correspondences (padding mask).
-      thresholds: PCK pixel thresholds.
-    """
-    dist = jnp.linalg.norm(
-        (pred_flow - gt_flow).astype(jnp.float32), axis=-1)
-    v = valid.astype(jnp.float32)
-    epe_sum = state.epe_sum + jnp.sum(dist * v)
-    correct = jnp.stack(
-        [jnp.sum((dist <= t).astype(jnp.float32) * v) for t in thresholds])
-    return EPEState(epe_sum, state.pck_correct + correct,
-                    state.total + jnp.sum(v))
-
-
-def epe_compute(state: EPEState,
-                thresholds: Tuple[float, ...] = (1.0, 3.0, 5.0, 10.0)
-                ) -> Dict[str, jax.Array]:
-    n = jnp.maximum(state.total, 1.0)
-    out = {"AEPE": state.epe_sum / n}
-    for i, t in enumerate(thresholds):
-        out[f"PCK_{int(t)}"] = state.pck_correct[i] / n
-    return out
+# SparseEPE/PCK/AUSE live in utils/sparse_epe.py (host-side numpy): the
+# reference metric is a per-sample mean-of-means over RAGGED correspondence
+# lists (helpers/metrics.py:35-261), which has no natural static-shape
+# device formulation; its accumulator dict is a plain sum for distributed
+# reduction.

@@ -78,9 +78,8 @@ def shard_rows(x: Any, axis_name: str = "data") -> Any:
     mesh = _COMPUTE_MESH[0]
     if mesh is None:
         return x
-    from jax.sharding import PartitionSpec
-    sh = NamedSharding(mesh, PartitionSpec(axis_name))
-    return jax.lax.with_sharding_constraint(x, sh)
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh,
+                                                             P(axis_name)))
 
 
 def cast_floating(tree: Any, dtype) -> Any:

@@ -308,10 +308,16 @@ class SegTask:
                 # variant computes from the matching accumulator
                 ign_list = sorted({m.get("ignore_index", 255)
                                    for _, m in metric_specs})
-                confmats = {ig: iou_init(self.num_classes)
+                # per-batch counts are exact in device int32; the running
+                # total accumulates on host in int64 (the reference's
+                # torchmetrics confmat is long — a device int32 accumulator
+                # would silently wrap past 2**31 pixels per cell on large
+                # evaluations)
+                confmats = {ig: np.zeros((self.num_classes,) * 2, np.int64)
                             for ig in ign_list}
                 update = jax.jit(iou_update,
                                  static_argnames=("ignore_index",))
+                zero = iou_init(self.num_classes)
                 fwd = None
                 for batch in loader:
                     x = jnp.asarray(batch["image"])
@@ -321,8 +327,9 @@ class SegTask:
                     logits = fwd(variables, x)
                     preds = jnp.argmax(logits, axis=-1)
                     for ig in ign_list:
-                        confmats[ig] = update(confmats[ig], preds, y,
-                                              ignore_index=ig)
+                        confmats[ig] += np.asarray(
+                            update(zero, preds, y, ignore_index=ig),
+                            np.int64)
                 for i, (mname, margs_) in enumerate(metric_specs):
                     val = float(iou_compute(
                         confmats[margs_.get("ignore_index", 255)],

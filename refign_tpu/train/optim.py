@@ -75,11 +75,17 @@ def make_uda_optimizer(params, base_lr: float, weight_decay: float,
                                  warmup_ratio=warmup_ratio, min_lr=min_lr)
 
     def group_tx(lr_factor: float, wd: float):
+        # the reference scheduler operates on each param group's OWN base lr
+        # (factor * lr) with a SHARED min_lr floor ((base-min_lr)*coeff +
+        # min_lr, lr_scheduler.py:55-57) — scaling the shared schedule's
+        # output by the factor would wrongly scale min_lr too
+        gsched = warmup_poly_schedule(
+            base_lr * lr_factor, max_steps, warmup_iters=warmup_iters,
+            power=power, warmup_ratio=warmup_ratio, min_lr=min_lr)
         return optax.chain(
             optax.scale_by_adam(b1=betas[0], b2=betas[1]),
             optax.add_decayed_weights(wd),
-            optax.scale_by_learning_rate(
-                lambda step: sched(step) * lr_factor),
+            optax.scale_by_learning_rate(gsched),
         )
 
     labels = jax.tree_util.tree_map_with_path(

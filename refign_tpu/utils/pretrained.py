@@ -87,7 +87,17 @@ def keyword_to_source(keyword: str, family: str, model_type: str) -> str:
 
 
 def _hub_dir() -> str:
-    return os.path.join(os.environ.get("TORCH_HOME", ""), "hub")
+    # torch.hub's default cache: $TORCH_HOME/hub, falling back to
+    # ~/.cache/torch/hub ($XDG_CACHE_HOME aware) — matching the reference's
+    # load_state_dict_from_url cache so checkpoints are shared, not
+    # re-downloaded per working directory
+    torch_home = os.environ.get("TORCH_HOME")
+    if not torch_home:
+        cache = os.environ.get(
+            "XDG_CACHE_HOME", os.path.join(os.path.expanduser("~"),
+                                           ".cache"))
+        torch_home = os.path.join(cache, "torch")
+    return os.path.join(torch_home, "hub")
 
 
 def resolve_pretrained(spec: str, family: Optional[str] = None,

@@ -56,7 +56,14 @@ class SparseEPE:
                 self.PCK[t] += float(np.sum(epe <= t))
             self.nbr_valid_corr += n
             self.nbr_samples += 1
-            if self.uncertainty_estimation and uncertainty_est is not None:
+            if self.uncertainty_estimation:
+                if uncertainty_est is None:
+                    # the reference fails loudly here (indexing None);
+                    # silently skipping would deflate AUSE_AEPE while
+                    # nbr_samples keeps counting
+                    raise ValueError(
+                        "SparseEPE(uncertainty_estimation=True) requires "
+                        "uncertainty_est in update()")
                 uncert = uncertainty_est[bb, iy, ix, 0]
                 self.AUSE_AEPE += self._ause(flow_gt, flow_est, uncert)
 

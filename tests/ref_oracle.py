@@ -185,6 +185,15 @@ def load_ref_uda_model_module():
     return load_ref_module("models.segmentation_model")
 
 
+def load_ref_alignment_model_module():
+    """Load the reference's AlignmentModel module
+    (models/alignment_model.py) for manual stepping."""
+    _stub_lightning()
+    _stub_kornia()
+    _stub_helpers_metrics()
+    return load_ref_module("models.alignment_model")
+
+
 def load_ref_module(dotted: str):
     """dotted e.g. 'models.backbones.mix_transformer' relative to REF_ROOT."""
     _ensure_pkg("models", f"{REF_ROOT}/models")

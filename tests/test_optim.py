@@ -85,3 +85,79 @@ def test_warmup_ratio_and_min_lr_reach_schedule():
         warmup_iters=10, warmup_ratio=0.25, min_lr=0.125)
     np.testing.assert_allclose(float(sched2(0)), 0.25, rtol=1e-6)
     np.testing.assert_allclose(float(sched2(100)), 0.125, rtol=1e-6)
+
+
+def test_backbone_group_min_lr_matches_torch_scheduler():
+    """With min_lr > 0, the backbone group must follow the reference
+    semantics — the scheduler runs on the GROUP's base lr (factor*lr) with
+    a shared min_lr floor (lr_scheduler.py:55-57) — not factor*(schedule
+    output), which would scale the floor too."""
+    import ref_oracle  # noqa: F401  (ensures helpers package importable)
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "helpers.lr_scheduler", "/root/reference/helpers/lr_scheduler.py")
+    # helpers.lr_scheduler imports the lightning registry; reuse the oracle
+    ref_oracle._stub_lightning()
+    lrs = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(lrs)
+
+    base_lr, factor, min_lr, max_steps, warmup = 6e-4, 0.1, 1e-6, 50, 5
+    p_head = torch.nn.Parameter(torch.zeros(2, 2))
+    p_bb = torch.nn.Parameter(torch.zeros(2, 2))
+    topt = torch.optim.AdamW([
+        {"params": [p_head], "lr": base_lr},
+        {"params": [p_bb], "lr": base_lr * factor}])
+    tsched = lrs.LinearWarmupPolynomialLR(
+        topt, max_steps=max_steps, warmup_iters=warmup, warmup_ratio=1e-6,
+        power=1.0, min_lr=min_lr)
+
+    params = {"backbone": {"w": jnp.zeros((2, 2))},
+              "head": {"w": jnp.zeros((2, 2))}}
+    tx, _ = make_uda_optimizer(params, base_lr, 0.0, max_steps=max_steps,
+                               backbone_lr_factor=factor,
+                               warmup_iters=warmup, power=1.0,
+                               min_lr=min_lr)
+    opt_state = tx.init(params)
+    # constant gradient: bias-corrected m_hat/sqrt(v_hat) == 1, so each
+    # step's param delta IS the scheduled lr — an end-to-end trace through
+    # the real multi_transform wiring
+    g_t = torch.ones(2, 2)
+    g_j = {"backbone": {"w": jnp.ones((2, 2))},
+           "head": {"w": jnp.ones((2, 2))}}
+    # (a) full-horizon lr comparison: the per-group schedule must equal the
+    # torch scheduler on the group's own base lr for every step (this is
+    # exactly what the buggy factor*(schedule output) composition broke —
+    # it diverges by ~(1-factor)*min_lr from the first poly step)
+    my_head = warmup_poly_schedule(base_lr, max_steps, warmup_iters=warmup,
+                                   warmup_ratio=1e-6, power=1.0,
+                                   min_lr=min_lr)
+    my_bb = warmup_poly_schedule(base_lr * factor, max_steps,
+                                 warmup_iters=warmup, warmup_ratio=1e-6,
+                                 power=1.0, min_lr=min_lr)
+    # (b) end-to-end param trace through the real multi_transform wiring;
+    # 12 steps only — optax computes Adam's bias correction in fp32 (torch
+    # uses python f64), a framework-internal drift of ~5e-6/step that
+    # swamps wiring signals on longer horizons
+    for step in range(max_steps):
+        want_head, want_bb = [g["lr"] for g in topt.param_groups]
+        np.testing.assert_allclose(float(my_head(step)), want_head,
+                                   rtol=1e-5, atol=1e-11,
+                                   err_msg=f"head lr step {step}")
+        np.testing.assert_allclose(float(my_bb(step)), want_bb,
+                                   rtol=1e-5, atol=1e-11,
+                                   err_msg=f"backbone lr step {step}")
+        p_head.grad, p_bb.grad = g_t.clone(), g_t.clone()
+        topt.step()
+        tsched.step()
+        if step >= 12:
+            continue
+        updates, opt_state = tx.update(g_j, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        np.testing.assert_allclose(
+            np.asarray(params["head"]["w"]), p_head.detach().numpy(),
+            rtol=5e-5, atol=1e-10, err_msg=f"head params step {step}")
+        np.testing.assert_allclose(
+            np.asarray(params["backbone"]["w"]), p_bb.detach().numpy(),
+            rtol=5e-5, atol=1e-10, err_msg=f"backbone params step {step}")
+    # the final backbone lr is min_lr, not factor*min_lr
+    np.testing.assert_allclose(float(my_bb(max_steps)), min_lr, rtol=1e-6)
