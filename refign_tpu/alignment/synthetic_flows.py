@@ -168,10 +168,7 @@ def tps_mapping(rng, H: int, W: int, random_t_tps=0.3,
 def _oob_sentinel(grid: jax.Array) -> jax.Array:
     """Set strictly-out-of-bounds grid entries to -1e10
     (transforms.py:1086-1093)."""
-    inb = ((grid[..., 0] > -1) & (grid[..., 0] < 1)
-           & (grid[..., 1] > -1) & (grid[..., 1] < 1))[..., None]
-    f = inb.astype(grid.dtype)
-    return f * grid + (f - 1.0) * 1e10
+    return _oob_sentinel_wrt(grid, grid)
 
 
 def afftps_mapping(rng, H: int, W: int, random_alpha=0.065, random_s=0.6,
@@ -253,7 +250,11 @@ def elastic_blob_mask(rng, H: int, W: int,
         y = jnp.floor(3 * sigma + uy * (H - 6 * sigma + 1))
         g1 = jnp.exp(-jnp.square(rows - x) / (2 * sigma * sigma))
         g2 = jnp.exp(-jnp.square(cols - y) / (2 * sigma * sigma))
-        blob2d = jnp.outer(g1, g2) / (sigma * math.sqrt(2 * math.pi)) ** 2
+        # reference div = std * math.sqrt(2*pi) ** 2 (transforms.py:1252):
+        # ** binds before *, so the divisor is sigma * 2pi, NOT the
+        # (sigma*sqrt(2pi))**2 a 2-D gaussian normalization would suggest —
+        # it shifts the m < 1e-6 blob-skip threshold by a factor of sigma
+        blob2d = jnp.outer(g1, g2) / (sigma * (2.0 * math.pi))
         mx = jnp.max(blob2d)
         blob2d = jnp.where(mx < 1e-6, 0.0,
                            jnp.clip(2.0 / jnp.maximum(mx, 1e-12) * blob2d,

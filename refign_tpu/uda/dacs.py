@@ -12,11 +12,20 @@ Semantics preserved:
   (ignore maps to the last slot) and the subset is drawn via uniform scores
   ranked among present classes (top-ceil(n/2)) — exactly uniform over
   subsets, like np.random.choice(replace=False).
-* color jitter (torchvision-style brightness/contrast/saturation/hue in
-  random order, each factor U(1-s,1+s) / hue U(-s,s)) applied on
-  denormalized images when the step coin > p.
-* Gaussian blur with sigma ~ U(0.15, 1.15), odd kernel ~0.1*dim, reflect
-  padding, when the step coin > 0.5.
+* color jitter with **kornia 0.5.8** op semantics (the version the
+  reference pins: additive brightness, pure-scale contrast, HSV-S-scale
+  saturation — see color_jitter_image), per-image factors in random order,
+  applied on denormalized images when the step coin > p.
+* Gaussian blur with sigma ~ U(0.15, 1.15) per image, odd kernel ~0.1*dim,
+  reflect padding, when the step coin > 0.5.
+
+Deliberate deviation under data parallelism: the batch-level quantities
+(ClassMix candidate set, confident-pixel pseudo-weight fraction, the
+jitter/blur step coins) are computed over the GLOBAL sharded batch,
+whereas the reference's DDP computes them per process.  The reference's
+published protocol is single-GPU (README commands use gpus=1), where the
+two coincide; at global batch = reference batch our statistics match the
+paper's setup exactly, which multi-process DDP would not.
 """
 from __future__ import annotations
 
@@ -175,8 +184,49 @@ def color_jitter_bcsh(rng: jax.Array, img: jax.Array, b: float, c: float,
 def color_jitter_image(rng: jax.Array, img: jax.Array,
                        s: float = 0.2) -> jax.Array:
     """Jitter ONE denormalized (H, W, 3) image in [0,1] (DACS flavor:
-    one strength for all four ops)."""
-    return color_jitter_bcsh(rng, img, s, s, s, s)
+    one strength for all four ops) with **kornia 0.5.8 semantics**.
+
+    The reference pins kornia==0.5.8 (requirements.txt) whose ColorJitter
+    differs from torchvision's (kornia deprecated it into ColorJiggle for
+    exactly this reason):
+      * brightness: factor ~ U(1-s, 1+s), applied ADDITIVELY as
+        clamp(img + (f-1)) — i.e. a uniform +-s shift;
+      * contrast:   factor ~ U(max(0,1-s), 1+s), pure scaling
+        clamp(img * f) with no gray-mean blend;
+      * saturation: factor ~ U(max(0,1-s), 1+s), scales the HSV S channel
+        (not a luma blend), no clamp before converting back;
+      * hue:        factor ~ U(-s, s) fraction of the circle (kornia
+        applies hue_factor * 2pi radians);
+      * the four ops run in a random order (like torchvision).
+    The torchvision-semantics jitter (color_jitter_bcsh) stays for the
+    alignment prime augs, whose reference counterpart IS torchvision
+    (data_modules/transforms.py ColorJitter)."""
+    k_order, kb, kc, ks, kh = jax.random.split(rng, 5)
+    fb = jax.random.uniform(kb, (), minval=max(0.0, 1 - s),
+                            maxval=min(2.0, 1 + s))
+    fc = jax.random.uniform(kc, (), minval=max(0.0, 1 - s), maxval=1 + s)
+    fs = jax.random.uniform(ks, (), minval=max(0.0, 1 - s), maxval=1 + s)
+    fh = jax.random.uniform(kh, (), minval=-s, maxval=s)
+    order = jax.random.permutation(k_order, 4)
+
+    def brightness(x):
+        return jnp.clip(x + (fb - 1.0), 0.0, 1.0)
+
+    def contrast(x):
+        return jnp.clip(x * fc, 0.0, 1.0)
+
+    def saturation(x):
+        hsv = _rgb_to_hsv(jnp.clip(x, 0.0, 1.0))
+        return _hsv_to_rgb(jnp.stack(
+            [hsv[..., 0], hsv[..., 1] * fs, hsv[..., 2]], axis=-1))
+
+    def apply_op(i, im):
+        return jax.lax.switch(order[i], [
+            brightness, contrast, saturation,
+            lambda x: _adjust_hue(x, fh),
+        ], im)
+
+    return jax.lax.fori_loop(0, 4, apply_op, img)
 
 
 # ---------------------------------------------------------------------------
@@ -242,7 +292,7 @@ def dacs_mix(rng: jax.Array,
     images_src = images_src[:B]
     gt_src = gt_src[:B]
 
-    k_coin_j, k_coin_b, k_masks, k_jit, k_sigma = jax.random.split(rng, 5)
+    k_coin_j, k_coin_b, k_masks, k_jit = jax.random.split(rng, 4)
     jitter_coin = jax.random.uniform(k_coin_j, ())
     blur_coin = jax.random.uniform(k_coin_b, ()) if blur else jnp.zeros(())
 

@@ -228,9 +228,12 @@ def make_uda_train_step(segmentor: Segmentor,
                                        state.teacher_batch_stats, images)
             return jax.nn.softmax(m_logits.astype(jnp.float32), axis=-1)
 
-        if cfg.use_refign and cfg.adapt_to_ref and use_ref_as_target:
+        if cfg.adapt_to_ref and use_ref_as_target:
             # the coin swapped the adaptation target to the
-            # normal-condition reference frame; align/refine are skipped
+            # normal-condition reference frame; align/refine are skipped.
+            # NOTE: the reference swap (:195-200) is independent of
+            # use_refign — with use_refign=False and adapt_to_ref=True the
+            # plain teacher still runs on image_ref for that step
             return plain_branch(batch["image_ref"]), batch["image_ref"]
         if cfg.use_refign:
             return refign_branch(images_trg), images_trg
