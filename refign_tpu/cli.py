@@ -23,9 +23,14 @@ from .config import build_task, load_yaml
 def _apply_override(cfg: Dict[str, Any], dotted: str, value: str) -> None:
     keys = dotted.split(".")
     node = cfg
-    for k in keys[:-1]:
-        # an empty YAML section (`trainer:`) parses as None — replace it,
-        # and refuse to descend into scalars
+    for j, k in enumerate(keys[:-1]):
+        # a SECTION must already exist (typo guard — jsonargparse rejects
+        # unknown sections outright); an empty YAML section (`trainer:`)
+        # parses as None and is replaced by a fresh mapping
+        if k not in node:
+            raise SystemExit(
+                f"--{dotted}: config has no section "
+                f"'{'.'.join(keys[:j + 1])}' (check spelling)")
         if node.get(k) is None:
             node[k] = {}
         if not isinstance(node[k], dict):
@@ -33,6 +38,14 @@ def _apply_override(cfg: Dict[str, Any], dotted: str, value: str) -> None:
                 f"--{dotted}: config node '{k}' is not a mapping "
                 f"({type(node[k]).__name__})")
         node = node[k]
+    if keys[-1] not in node:
+        # a new leaf can be a legitimate override of an omitted default
+        # (e.g. --model.init_args.use_align on a config relying on the
+        # class default) — but it is also how a typo silently disappears
+        # into the known-arg filters, so say it loudly
+        print(f"[cli] note: --{dotted} introduces a NEW config key "
+              f"(not present in the YAML) — check the spelling if you "
+              f"expected to override an existing value", file=sys.stderr)
     try:
         parsed = json.loads(value)
     except (json.JSONDecodeError, TypeError):
@@ -73,10 +86,17 @@ def main(argv: List[str] = None) -> int:
     pyrandom.seed(seed)
     np.random.seed(seed)
 
+    # reference configs define trainer.logger as a LIST of class_path
+    # entries (refign_hrda_star.yaml:165-169); ours use a single mapping —
+    # accept both (and null sections) when deriving the save dir
+    logger_cfg = (cfg.get("trainer") or {}).get("logger") or {}
+    if isinstance(logger_cfg, list):
+        logger_cfg = next(
+            (e for e in logger_cfg if isinstance(e, dict)
+             and "save_dir" in (e.get("init_args") or {})), {})
+    save_dir = (logger_cfg.get("init_args") or {}).get("save_dir", "runs")
     workdir = args.workdir or os.path.join(
-        cfg.get("trainer", {}).get("logger", {}).get(
-            "init_args", {}).get("save_dir", "runs"),
-        os.path.splitext(os.path.basename(args.config))[0])
+        save_dir, os.path.splitext(os.path.basename(args.config))[0])
 
     task, _ = build_task(cfg, data_dir=args.data_dir)
     if args.subcommand == "predict" and not hasattr(task, "predict"):

@@ -181,9 +181,14 @@ class CombinedDataModule:
         changes the data order (reference seed_everything semantics)."""
         from .loader import DataLoader
         per_ds_bs = self.batch_size // len(self.stage_on["train"])
+        # decorrelate the per-dataset shuffle streams (reference loaders
+        # draw from independent torch RNG states): with a shared seed, two
+        # entries over the same file list would pair every image with
+        # itself in the merged batch
         return [DataLoader(ds, per_ds_bs, shuffle=True, drop_last=True,
-                           num_workers=self.num_workers, seed=seed)
-                for ds in self.datasets["train"]]
+                           num_workers=self.num_workers,
+                           seed=seed + 7919 * i)
+                for i, ds in enumerate(self.datasets["train"])]
 
     def eval_dataloaders(self, stage: str):
         from .loader import DataLoader
@@ -194,8 +199,11 @@ class CombinedDataModule:
 
     # -- batch merge (reference combined_data_module.py:263-310) ------------
 
-    def merge_train_batch(self, sub_batches: List[Dict[str, Any]]
-                          ) -> Dict[str, Any]:
+    def merge_train_batch(self, sub_batches: List[Dict[str, Any]],
+                          drop_half: bool = True) -> Dict[str, Any]:
+        """``drop_half=False`` skips the random source-halving coin (used
+        by the mesh-sizing probe, which needs the deterministic full
+        geometry)."""
         out: Dict[str, Any] = {}
         src_x, src_y, trg, ref = [], [], [], []
         prime, prime_idx = [], []
@@ -224,8 +232,16 @@ class CombinedDataModule:
                 out["prime_trg_idx"] = np.concatenate(
                     prime_idx).reshape(-1)
         if (self.ignore_every_second_semantic_training_batch
-                and "image_src" in out and pyrandom.random() < 0.5):
-            n = len(out["image_src"]) // 2
-            out["image_src"] = out["image_src"][:n]
-            out["semantic_src"] = out["semantic_src"][:n]
+                and drop_half and "image_src" in out):
+            # reference combined_data_module.py:301-303: the flag is only
+            # valid when labels come from MORE than one loader (the
+            # semi-supervised case); otherwise it would silently halve the
+            # supervised batch
+            assert (len(out["image_src"])
+                    > self.batch_size // len(self.stage_on["train"])), \
+                "can only ignore in semi-supervised case"
+            if pyrandom.random() < 0.5:
+                n = len(out["image_src"]) // 2
+                out["image_src"] = out["image_src"][:n]
+                out["semantic_src"] = out["semantic_src"][:n]
         return out

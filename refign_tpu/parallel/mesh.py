@@ -30,9 +30,23 @@ def data_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch: Any, axis_name: str = "data") -> Any:
-    """Shard every array's leading (batch) axis across the mesh."""
+    """Shard every array's leading (batch) axis across the mesh.
+
+    Arrays whose leading axis is not divisible by the mesh size are
+    replicated instead of sharded (a committed uneven device_put raises):
+    e.g. ignore_every_second_semantic_training_batch randomly halves
+    image_src per step, which can break divisibility mid-run.
+    """
+    n = int(np.prod(mesh.devices.shape))
     sh = NamedSharding(mesh, P(axis_name))
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+    rep = NamedSharding(mesh, P())
+
+    def put(x):
+        divisible = (hasattr(x, "shape") and getattr(x, "ndim", 0) > 0
+                     and x.shape[0] % n == 0)
+        return jax.device_put(x, sh if divisible else rep)
+
+    return jax.tree_util.tree_map(put, batch)
 
 
 def replicate(mesh: Mesh, tree: Any) -> Any:

@@ -24,6 +24,16 @@ from ..utils.checkpoint import (load_torch_alignment_head,
 from ..utils.sparse_epe import SparseEPE
 
 
+def _host_batch_from(raw_batches):
+    """Concatenate per-loader sub-batches into one train batch (reference
+    on_before_batch_transfer cat semantics, combined_data_module.py:
+    263-310); maps the datasets' 'image' key to the step's image_trg."""
+    return {
+        "image_ref": np.concatenate([r["image_ref"] for r in raw_batches]),
+        "image_trg": np.concatenate([r["image"] for r in raw_batches]),
+    }
+
+
 class AlignTask:
 
     def __init__(self, margs: Dict[str, Any], opt: OptimizerSpec,
@@ -131,19 +141,23 @@ class AlignTask:
 
     def fit(self, workdir: str, seed: int = 0,
             resume: Optional[str] = None) -> Dict[str, float]:
+        """All train loaders contribute each step: per-loader sub-batches
+        are concatenated like the reference's on_before_batch_transfer
+        (combined_data_module.py:263-310) — previously only loaders[0]
+        was consumed, silently dropping extra train datasets."""
         from ..data.loader import DevicePrefetcher, InfiniteLoader
         os.makedirs(workdir, exist_ok=True)
         self.datamodule.setup("fit")
         loaders = self.datamodule.train_dataloaders(seed=seed)
-        it = iter(InfiniteLoader(loaders[0]))
+        iters = [iter(InfiniteLoader(l)) for l in loaders]
 
         rng = jax.random.PRNGKey(seed)
         state = self.init_state(rng)
         if resume:
             state = restore_checkpoint(resume, state)
         import math
-        probe = next(it)
-        n_dev = math.gcd(len(jax.devices()), probe["image"].shape[0])
+        probe = _host_batch_from([next(i) for i in iters])
+        n_dev = math.gcd(len(jax.devices()), probe["image_trg"].shape[0])
         self.mesh = make_mesh(jax.devices()[:max(n_dev, 1)])
         state = replicate(self.mesh, state)
         step_fn = jax.jit(make_align_train_step(
@@ -154,13 +168,9 @@ class AlignTask:
                            lambda hs: self.evaluate("val", state=hs),
                            default_max_steps=400000)
 
-        def _host_batch():
-            raw = next(it)
-            return {"image_ref": raw["image_ref"],
-                    "image_trg": raw["image"]}
-
         prefetcher = DevicePrefetcher(
-            _host_batch, lambda b: shard_batch(self.mesh, b))
+            lambda: _host_batch_from([next(i) for i in iters]),
+            lambda b: shard_batch(self.mesh, b))
 
         start_step = int(state.step)
         for step in range(start_step, bk.max_steps):
@@ -178,9 +188,11 @@ class AlignTask:
             self.datamodule.setup("validate" if stage == "val" else stage)
         if state is None:
             state = self.init_state(rng or jax.random.PRNGKey(0))
-        head_vars = {"params": state.params,
-                     "batch_stats": state.batch_stats}
-        bb_params = state.backbone_params
+        # upload the weights ONCE (fit hands us device_get'd numpy state;
+        # numpy jit arguments re-transfer host->device on every call)
+        head_vars = replicate(self.mesh, {"params": state.params,
+                                          "batch_stats": state.batch_stats})
+        bb_params = replicate(self.mesh, state.backbone_params)
 
         def fwd(images_trg, images_ref):
             key = images_trg.shape

@@ -222,6 +222,19 @@ class SegTask:
                    ("m_head", "head", tparams, tstats),
                    ("m_scale_attention", "scale_attention", tparams,
                     tstats)]
+        # strict=True semantics (reference segmentation_model.py:436): a
+        # full UDA checkpoint must cover every submodule the model owns —
+        # silently keeping fresh-init teacher/imnet weights would degrade
+        # training with no error
+        required = {src for src, dst, p, _ in mapping if dst in p}
+        if state.imnet_params is not None:
+            required.add("imnet_backbone")
+        missing = sorted(required - set(groups))
+        if missing:
+            raise KeyError(
+                f"pretrained checkpoint is missing submodule groups "
+                f"{missing} (has {sorted(groups)}); the reference loads "
+                f"full-state checkpoints with strict=True")
         for src, dst, p, s in mapping:
             if src in groups:
                 p[dst] = groups[src]["params"]
@@ -278,8 +291,12 @@ class SegTask:
             self.datamodule.setup("validate" if stage == "val" else stage)
         if state is None:
             state, _ = self.init_state(rng or jax.random.PRNGKey(0))
-        variables = {"params": state.params,
-                     "batch_stats": state.batch_stats}
+        # upload the weights ONCE: fit hands us the device_get'd (numpy)
+        # state, and numpy pytrees passed as jit arguments re-transfer
+        # host->device on every call — per-batch re-upload of the full
+        # param set would dominate eval time
+        variables = replicate(self.mesh, {"params": state.params,
+                                          "batch_stats": state.batch_stats})
         results: Dict[str, float] = {}
         loaders = self.datamodule.eval_dataloaders(stage)
         names = self.datamodule.stage_on[stage]
@@ -318,13 +335,18 @@ class SegTask:
                 update = jax.jit(iou_update,
                                  static_argnames=("ignore_index",))
                 zero = iou_init(self.num_classes)
-                fwd = None
+                # the reference computes out_size per batch
+                # (segmentation_model.py:257) — eval datasets may carry
+                # non-uniform image sizes, so key the compiled forward by
+                # the label geometry instead of freezing the first one
+                fwds: Dict[Tuple[int, int], Any] = {}
                 for batch in loader:
                     x = jnp.asarray(batch["image"])
                     y = jnp.asarray(batch["semantic"])
-                    if fwd is None:
-                        fwd = self.make_forward(tuple(y.shape[1:3]))
-                    logits = fwd(variables, x)
+                    hw = tuple(y.shape[1:3])
+                    if hw not in fwds:
+                        fwds[hw] = self.make_forward(hw)
+                    logits = fwds[hw](variables, x)
                     preds = jnp.argmax(logits, axis=-1)
                     for ig in ign_list:
                         confmats[ig] += np.asarray(
@@ -359,12 +381,21 @@ class SegTask:
             state = restore_checkpoint(resume, state)
 
         # size the data mesh to the largest device count dividing every
-        # batch axis (DP over ICI; single device degenerates gracefully)
+        # batch axis (DP over ICI; single device degenerates gracefully).
+        # With ignore_every_second_semantic_training_batch the src rows are
+        # randomly halved per step, so include the halved size too — the
+        # probe batch's own halving is a coin flip and must not decide the
+        # mesh (shard_batch additionally replicates any non-divisible
+        # array, so a surprise shape can never crash a step)
         import math
         probe = self.datamodule.merge_train_batch(
-            [next(it) for it in iters])
+            [next(it) for it in iters], drop_half=False)
         dims = [v.shape[0] for v in probe.values()
                 if hasattr(v, "shape") and v.ndim > 0]
+        if (getattr(self.datamodule,
+                    "ignore_every_second_semantic_training_batch", False)
+                and "image_src" in probe):
+            dims.append(max(probe["image_src"].shape[0] // 2, 1))
         n_dev = len(jax.devices())
         for d in dims:
             n_dev = math.gcd(n_dev, d)

@@ -38,7 +38,18 @@ class FitBookkeeper:
         os.makedirs(workdir, exist_ok=True)
         cfg = trainer_cfg or {}
         self.max_steps = int(cfg.get("max_steps", default_max_steps))
-        self.val_every = int(cfg.get("val_every_n_steps", self.max_steps))
+        # reference-schema configs carry the cadence in
+        # trainer.callbacks ValEveryNSteps.init_args.every_n_steps
+        # (helpers/callbacks.py:6-27) — honor it rather than silently
+        # running a full 40k-step fit with no intermediate val/checkpoint
+        val_every = cfg.get("val_every_n_steps")
+        if val_every is None:
+            for cb in (cfg.get("callbacks") or []):
+                if (isinstance(cb, dict) and str(cb.get(
+                        "class_path", "")).endswith("ValEveryNSteps")):
+                    val_every = (cb.get("init_args") or {}).get(
+                        "every_n_steps")
+        self.val_every = int(val_every or self.max_steps)
         self.log_every = int(cfg.get("log_every_n_steps", 50))
         self.ckpt_dir = os.path.join(workdir, "checkpoints")
         self._sched_fn = sched_fn
