@@ -1,10 +1,25 @@
-"""Batching, collation, and threaded prefetch for host datasets.
+"""Batching, collation, and parallel prefetch for host datasets.
 
 Replaces the reference's torch DataLoader usage
-(data_modules/combined_data_module.py:203-261 + my_collate :18-28).  PIL
-decode releases the GIL, so a thread pool gives parallel decode without
-worker processes; batches are prefetched into a bounded queue so the TPU
-never stalls on input (SURVEY.md §7.3 item 5).
+(data_modules/combined_data_module.py:203-261 + my_collate :18-28).
+Two worker modes, selected by ``REFIGN_TPU_LOADER``:
+
+- ``thread`` (default): PIL decode releases the GIL, so a thread pool
+  parallelizes the decode without worker processes.  The numpy transform
+  work (RandomCrop re-crop loop, flips, fp32 normalize) stays GIL-bound.
+- ``process``: worker *processes*, matching the reference's
+  ``num_workers: 4`` DataLoader semantics
+  (configs/cityscapes_acdc/refign_hrda_star.yaml:6).  Each worker
+  materializes and collates a WHOLE batch (torch DataLoader's
+  assignment), so IPC ships one contiguous pickled block per batch and
+  the GIL-bound numpy transform work runs truly in parallel.  Workers
+  must never touch jax/the TPU (same contract as torch's "no CUDA in
+  workers").  Fork start is the default (``REFIGN_TPU_LOADER_CTX`` to
+  override); datasets are inherited by COW, nothing is pickled per task
+  but the returned batch.
+
+Batches are prefetched into a bounded queue so the TPU never stalls on
+input (SURVEY.md §7.3 item 5).
 
 Collation stacks numpy arrays; ragged correspondence arrays
 ('corr_pts', 'corr_pts_ref') stay as lists (sparse metrics sample dense
@@ -12,6 +27,8 @@ flows host-side, no static shapes needed).
 """
 from __future__ import annotations
 
+import multiprocessing
+import os
 import queue
 import random as pyrandom
 import threading
@@ -38,12 +55,44 @@ def collate(samples: List[Dict[str, Any]]) -> Dict[str, Any]:
     return out
 
 
+# --- process-mode worker plumbing -------------------------------------
+# The dataset reaches fork workers by COW inheritance of this module
+# global (set just before Pool() forks, under _FORK_LOCK, restored after)
+# — nothing dataset-sized is ever pickled.  Under a spawn context it is
+# pickled once per worker via the initializer instead.
+_WORKER_DS = None
+_FORK_LOCK = threading.Lock()
+
+
+def _worker_init(ds):
+    global _WORKER_DS
+    if ds is not None:
+        _WORKER_DS = ds
+
+
+def _worker_batch(task):
+    """Materialize + collate one whole batch in a worker process.
+
+    Workers inherit (fork) or re-derive (spawn) the parent's global RNG
+    state, so without reseeding every batch would replay the SAME random
+    crop/flip/jitter sequence.  Seed both host RNGs from (seed, epoch,
+    batch_index) — deterministic for a fixed loader seed, decorrelated
+    across batches and workers.
+    """
+    seed, epoch, bidx, idxs = task
+    mix = (seed * 1000003 + epoch * 8191 + bidx) % (2 ** 32)
+    pyrandom.seed(mix)
+    np.random.seed(mix)
+    return collate([_WORKER_DS[i] for i in idxs])
+
+
 class DataLoader:
-    """Map-style loader: shuffle, batch, drop_last, threaded prefetch."""
+    """Map-style loader: shuffle, batch, drop_last, parallel prefetch."""
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
                  drop_last: bool = False, num_workers: int = 4,
-                 prefetch: int = 2, seed: int = 0):
+                 prefetch: int = 2, seed: int = 0,
+                 mode: Optional[str] = None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -52,6 +101,10 @@ class DataLoader:
         self.prefetch = prefetch
         self.seed = seed
         self.epoch = 0
+        self.mode = mode or os.environ.get("REFIGN_TPU_LOADER", "thread")
+        if self.mode not in ("thread", "process"):
+            raise ValueError(f"REFIGN_TPU_LOADER={self.mode!r}: "
+                             "expected 'thread' or 'process'")
 
     def __len__(self):
         n = len(self.dataset)
@@ -69,6 +122,56 @@ class DataLoader:
         return batches
 
     def __iter__(self) -> Iterator[Dict[str, Any]]:
+        if self.mode == "process":
+            yield from self._iter_process()
+        else:
+            yield from self._iter_thread()
+
+    def _make_pool(self):
+        """Worker-process pool; fork (default) inherits the dataset by
+        COW, spawn pickles it once per worker via the initializer."""
+        ctx_name = os.environ.get("REFIGN_TPU_LOADER_CTX", "fork")
+        ctx = multiprocessing.get_context(ctx_name)
+        global _WORKER_DS
+        if ctx_name == "fork":
+            with _FORK_LOCK:  # global is per-pool; serialize fork windows
+                _WORKER_DS = self.dataset
+                try:
+                    return ctx.Pool(self.num_workers,
+                                    initializer=_worker_init,
+                                    initargs=(None,))
+                finally:
+                    _WORKER_DS = None
+        return ctx.Pool(self.num_workers, initializer=_worker_init,
+                        initargs=(self.dataset,))
+
+    def _iter_process(self) -> Iterator[Dict[str, Any]]:
+        batches = self._index_batches()
+        epoch, self.epoch = self.epoch, self.epoch + 1
+        pool = self._make_pool()
+        try:
+            # sliding in-flight window (torch: workers * prefetch_factor)
+            # so ready-but-unconsumed batches can't pile up unboundedly
+            limit = self.num_workers + max(1, self.prefetch)
+            pending: List[Any] = []
+            it = iter(enumerate(batches))
+            done = False
+            while pending or not done:
+                while not done and len(pending) < limit:
+                    try:
+                        bidx, idxs = next(it)
+                    except StopIteration:
+                        done = True
+                        break
+                    pending.append(pool.apply_async(
+                        _worker_batch, ((self.seed, epoch, bidx, idxs),)))
+                if pending:
+                    yield pending.pop(0).get()  # re-raises worker errors
+        finally:
+            pool.terminate()
+            pool.join()
+
+    def _iter_thread(self) -> Iterator[Dict[str, Any]]:
         batches = self._index_batches()
         self.epoch += 1
         pool = ThreadPoolExecutor(max_workers=self.num_workers)

@@ -108,6 +108,33 @@ CONFIG = {
                         ],
                     },
                 },
+                "test": {
+                    "ACDC": {
+                        "condition": ["fog"],
+                        "load_keys": ["image", "semantic"],
+                        "dims": [64, 128],
+                        "transforms": [
+                            {"class_path":
+                             "data_modules.transforms.ToTensor"},
+                            {"class_path":
+                             "data_modules.transforms.ConvertImageDtype"},
+                            {"class_path":
+                             "data_modules.transforms.Normalize"},
+                        ],
+                    },
+                    "NighttimeDriving": {
+                        "load_keys": ["image", "semantic"],
+                        "dims": [64, 128],
+                        "transforms": [
+                            {"class_path":
+                             "data_modules.transforms.ToTensor"},
+                            {"class_path":
+                             "data_modules.transforms.ConvertImageDtype"},
+                            {"class_path":
+                             "data_modules.transforms.Normalize"},
+                        ],
+                    },
+                },
                 "predict": {
                     "ACDC": {
                         "condition": ["fog"],
@@ -150,6 +177,16 @@ CONFIG = {
                     {"class_path": "helpers.metrics.IoU",
                      "init_args": {"num_classes": 19,
                                    "ignore_index": 255}}]},
+                "test": {
+                    "ACDC": [
+                        {"class_path": "helpers.metrics.IoU",
+                         "init_args": {"num_classes": 19,
+                                       "ignore_index": 255}}],
+                    "NighttimeDriving": [
+                        {"class_path": "helpers.metrics.IoU",
+                         "init_args": {"num_classes": 19,
+                                       "ignore_index": 255}}],
+                },
             },
         },
     },
@@ -166,11 +203,30 @@ CONFIG = {
 }
 
 
+def _make_nighttime_driving(root, n=2, size=(64, 128)):
+    rng = np.random.RandomState(2)
+    img_dir = os.path.join(root, "leftImg8bit", "test", "night")
+    sem_dir = os.path.join(root, "gtCoarse_daytime_trainvaltest",
+                           "test", "night")
+    os.makedirs(img_dir, exist_ok=True)
+    os.makedirs(sem_dir, exist_ok=True)
+    for i in range(n):
+        img = rng.randint(0, 255, size=size + (3,), dtype=np.uint8)
+        sem = rng.randint(0, 19, size=size).astype(np.uint8)
+        Image.fromarray(img).save(
+            os.path.join(img_dir, f"n_{i:02d}_leftImg8bit.png"))
+        Image.fromarray(sem).save(os.path.join(
+            sem_dir, f"n_{i:02d}_gtCoarse_labelTrainIds.png"))
+
+
 @pytest.fixture(scope="module")
 def data_root(tmp_path_factory):
     root = tmp_path_factory.mktemp("data")
     _make_cityscapes(os.path.join(root, "Cityscapes"))
     _make_acdc(os.path.join(root, "ACDC"))
+    # reference data-dir layout nests this set under NighttimeDrivingTest
+    # (combined_data_module.py:46-55 / our module.DATA_SUBDIRS)
+    _make_nighttime_driving(os.path.join(root, "NighttimeDrivingTest"))
     return str(root)
 
 
@@ -204,6 +260,18 @@ def test_cli_fit_validate_predict(data_root, tmp_path):
     assert len(preds) == 2
     colors = os.listdir(os.path.join(workdir, "color_preds", "ACDC"))
     assert len(colors) == 2
+
+    # the reference's primary published workflow (README.md:274-282):
+    # `run.py test --config ... --ckpt_path ...` -> per-test-dataset
+    # metrics, restored from the trained checkpoint
+    rc = main(["test", "--config", str(cfg_path), "--workdir", workdir,
+               "--data_dir", data_root,
+               "--ckpt_path", os.path.join(workdir, "checkpoints", "last")])
+    assert rc == 0
+    metrics = json.load(open(os.path.join(workdir, "test_metrics.json")))
+    assert "test_ACDC_IoU" in metrics
+    assert "test_NighttimeDriving_IoU" in metrics
+    assert all(np.isfinite(v) for v in metrics.values())
 
 
 def test_apply_override_handles_null_sections_and_bad_args(tmp_path):

@@ -99,3 +99,56 @@ def test_dataloader_abandoned_iterator_does_not_leak_producer():
         time.sleep(0.1)
     assert threading.active_count() <= n0, (
         f"{threading.active_count() - n0} leaked threads")
+
+
+class _SeqDataset:
+    """Deterministic content + a per-sample random draw (proxies the
+    RandomCrop/flip/jitter host randomness)."""
+
+    def __init__(self, n=10):
+        self.n = n
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        import random
+
+        import numpy as np
+        return {"x": np.full((2, 2), i, np.float32),
+                "r": np.float32(random.random())}
+
+
+def test_process_mode_parity_determinism_and_errors():
+    """REFIGN_TPU_LOADER=process (reference num_workers parity:
+    worker *processes*, combined_data_module.py + refign_hrda_star.yaml:6).
+
+    - yields the same index batches as thread mode (shuffle is computed
+      in the parent)
+    - per-batch RNG reseeding: deterministic across runs for a fixed
+      seed, decorrelated across batches (fork inherits the parent RNG
+      state, so without reseeding every batch replays the same crops)
+    - worker exceptions surface in the consumer
+    """
+    from refign_tpu.data.loader import DataLoader
+
+    def run(mode, seed=7):
+        dl = DataLoader(_SeqDataset(), batch_size=3, shuffle=True,
+                        num_workers=2, seed=seed, mode=mode)
+        idx, rnd = [], []
+        for b in dl:
+            idx.append(b["x"][:, 0, 0].tolist())
+            rnd.append(b["r"].tolist())
+        return idx, rnd
+
+    idx_p1, rnd_p1 = run("process")
+    idx_p2, rnd_p2 = run("process")
+    idx_t, _ = run("thread")
+    assert idx_p1 == idx_p2 == idx_t
+    assert rnd_p1 == rnd_p2, "process mode must be seed-deterministic"
+    assert rnd_p1[0] != rnd_p1[1], "batches must be decorrelated"
+
+    with pytest.raises(ValueError, match="corrupt sample"):
+        for _ in DataLoader(_FlakyDataset(), batch_size=2, num_workers=2,
+                            mode="process"):
+            pass

@@ -76,6 +76,22 @@ def main():
                     help="HRDA-star student (scale attention + LR/HR "
                     "double pass); only core_full/prefix/full_step probes "
                     "support this")
+    ap.add_argument("--windows", default=None,
+                    help="comma list of window lengths; runs the full_step "
+                    "probe once per window in ONE process (shared compile) "
+                    "to characterize the relay's iteration-count-dependent "
+                    "cost (r3: 8/30-iter windows read ~277 ms, a 60-iter "
+                    "window read 390)")
+    ap.add_argument("--sync-every", type=int, default=0,
+                    help="with --windows: fetch a log scalar every K steps "
+                    "inside the window (tests the bounded-queue governor "
+                    "hypothesis — if deep dispatch queues are what long "
+                    "windows pay for, periodic draining removes it)")
+    ap.add_argument("--lag", type=int, default=0,
+                    help="with --sync-every: fetch the scalar from this "
+                    "many steps AGO (a lagged fetch should be free if the "
+                    "value is already materialized; a fresh fetch pays the "
+                    "full pipeline drain)")
     args = ap.parse_args()
     B, S = args.batch, args.size
 
@@ -236,6 +252,43 @@ def main():
         b = dict(batch)
         b["image_src"] = img
         return step_fn(st, b, align_params, key)
+
+    if args.windows:
+        # window-length sweep of the production step, one shared compile.
+        # For each window: time the dispatch loop alone (host cost) and the
+        # loop + final drain (true per-step), optionally draining a log
+        # scalar every --sync-every steps with --lag steps of slack.
+        import json as _json
+        st0 = state
+        new_st, logs = full_step(st0, img)
+        jax.block_until_ready(logs["train_loss_total"])
+        warm = new_st
+        _sync(logs["train_loss_total"])
+        t0 = time.perf_counter()
+        _sync(logs["train_loss_total"])
+        rpc = time.perf_counter() - t0
+        for w in [int(x) for x in args.windows.split(",")]:
+            st = warm
+            losses = []
+            tprobe = time.perf_counter()
+            for i in range(w):
+                st, logs = full_step(st, img)
+                losses.append(logs["train_loss_total"])
+                if args.sync_every and (i + 1) % args.sync_every == 0:
+                    _sync(losses[max(0, i - args.lag)])
+            dispatch_s = time.perf_counter() - tprobe
+            _sync(losses[-1])
+            total_s = time.perf_counter() - tprobe
+            print(_json.dumps({
+                "probe": "full_step_window",
+                "window": w,
+                "sync_every": args.sync_every,
+                "lag": args.lag,
+                "ms_per_step": round(max(total_s - rpc, 1e-9) / w * 1e3, 1),
+                "dispatch_ms_per_step": round(dispatch_s / w * 1e3, 1),
+                "rpc_ms": round(rpc * 1e3, 1),
+            }), flush=True)
+        return
 
     if only is None or "full_step" in only:
         st = state
