@@ -37,3 +37,29 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8").strip()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+# ---- fast tier (-m fast) --------------------------------------------------
+# The full suite is ~55 min on this 1-core box (VERDICT r3 weak #7); the
+# fast tier must stay <5 min so it keeps being run on every change.  Module
+# granularity: the slow set is the torch-oracle goldens, the e2e CLI drives,
+# and the multi-device/train-loop integration tests — everything else
+# (kernels, ops, losses, loaders, configs, transforms, metrics units) is
+# fast.  New golden/e2e modules must be added here.
+SLOW_MODULES = {
+    "test_e2e_cli", "test_matching_data", "test_multidevice",
+    "test_uda_train", "test_uawarpc", "test_segmentor",
+    "test_full_pipeline_golden", "test_hrda_train_golden",
+    "test_trajectory_golden", "test_align_trajectory_golden",
+    "test_refign_trajectory_golden", "test_mit_golden",
+    "test_pretrained", "test_checkpoint_interop", "test_resnet",
+    "test_alignment",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest
+    for item in items:
+        mod = item.module.__name__.rsplit(".", 1)[-1]
+        item.add_marker(pytest.mark.slow if mod in SLOW_MODULES
+                        else pytest.mark.fast)

@@ -92,6 +92,17 @@ def main():
                     "many steps AGO (a lagged fetch should be free if the "
                     "value is already materialized; a fresh fetch pays the "
                     "full pipeline drain)")
+    ap.add_argument("--scan-floor", type=int, default=0, metavar="K",
+                    help="authoritative DEVICE time: run K chained "
+                    "iterations of jit_prefix and of jit_core each inside "
+                    "a single lax.scan dispatch — one RPC, so the relay's "
+                    "per-dispatch and queue effects cannot contaminate the "
+                    "number.  (prefix and core stay separate programs, "
+                    "matching production; fusing them into one was the r3 "
+                    "monolith regression.)")
+    ap.add_argument("--h2d", type=int, default=0, metavar="N",
+                    help="time N host->device batch transfers (the fit "
+                    "loop pays this per step; the chained probes don't)")
     args = ap.parse_args()
     B, S = args.batch, args.size
 
@@ -134,7 +145,7 @@ def main():
     results = {}
     only = set(args.only.split(",")) if args.only else None
     _PROBES = {"fwd_infer", "fwd_train", "grad_src", "core_full", "prefix",
-               "full_step", "adamw_only"}
+               "full_step", "adamw_only", "none"}
     if only is not None and not only <= _PROBES:
         sys.exit(f"unknown probe(s) {sorted(only - _PROBES)}; "
                  f"valid: {sorted(_PROBES)}")
@@ -252,6 +263,89 @@ def main():
         b = dict(batch)
         b["image_src"] = img
         return step_fn(st, b, align_params, key)
+
+    if args.h2d:
+        import json as _json
+        host_batch = {k: np.asarray(v) for k, v in batch.items()}
+        nbytes = sum(a.nbytes for a in host_batch.values())
+        jax.block_until_ready(jax.device_put(host_batch))  # warm path
+        t0 = time.perf_counter()
+        for _ in range(args.h2d):
+            jax.block_until_ready(jax.device_put(host_batch))
+        dt = (time.perf_counter() - t0) / args.h2d
+        print(_json.dumps({
+            "probe": "h2d_batch_transfer",
+            "ms": round(dt * 1e3, 1),
+            "mb": round(nbytes / 1e6, 1),
+            "mb_per_s": round(nbytes / 1e6 / dt, 1),
+        }), flush=True)
+
+    if args.scan_floor:
+        import json as _json
+        K = args.scan_floor
+
+        @jax.jit
+        def scan_prefix(st, b, ap_, key):
+            # chain an output-derived epsilon into the IMAGES each iteration:
+            # with a loop-constant batch XLA hoists everything that depends
+            # only on (batch, align_params) — i.e. the whole VGG+UAWarpC
+            # align pass — out of the loop, and the floor silently excludes
+            # the aligner (observed: 8.5 ms/step "prefix" at B5-512^2)
+            def body(carry, k):
+                st_c, eps = carry
+                b2 = dict(b)
+                for kk in ("image_trg", "image_ref", "image_src"):
+                    if kk in b2:
+                        b2[kk] = b2[kk] + eps
+                tp, mi, ml, mw = step_fn.jit_prefix(
+                    st_c, b2, ap_, k, use_ref_as_target=False)
+                st_c = st_c._replace(teacher_params=tp)
+                out = jnp.sum(mi.astype(jnp.float32))
+                return (st_c, out * 0.0), out
+            keys = jax.random.split(key, K)
+            (st2, _), out = jax.lax.scan(body, (st, jnp.float32(0.0)), keys)
+            return out[-1]
+
+        @jax.jit
+        def scan_core(st, b, key):
+            # same chaining: the frozen-imnet fdist forward depends only on
+            # (imnet_params, image_src), both loop-invariant — hoistable
+            def body(carry, k):
+                st_c, eps = carry
+                b2 = dict(b)
+                b2["image_src"] = b2["image_src"] + eps
+                new_st, logs = step_fn.jit_core(st_c, b2, mixed_img + eps,
+                                                mixed_lbl, mixed_w, k)
+                loss = logs["train_loss_total"]
+                return (new_st, loss * 0.0), loss
+            keys = jax.random.split(key, K)
+            (st2, _), losses = jax.lax.scan(body, (st, jnp.float32(0.0)),
+                                            keys)
+            return losses[-1]
+
+        floors = {}
+        for name, call in (("prefix", lambda: scan_prefix(state, batch,
+                                                          align_params, key)),
+                           ("core", lambda: scan_core(state, batch, key))):
+            t0 = time.time()
+            jax.block_until_ready(call())   # compile + first run
+            compile_s = time.time() - t0
+            t0 = time.perf_counter()
+            jax.block_until_ready(call())
+            floors[name] = (time.perf_counter() - t0) / K * 1e3
+            print(_json.dumps({
+                "probe": f"scan_floor_{name}",
+                "K": K,
+                "device_ms_per_step": round(floors[name], 1),
+                "compile_s": round(compile_s, 1),
+            }), flush=True)
+        print(_json.dumps({
+            "probe": "scan_floor_total",
+            "K": K,
+            "device_ms_per_step": round(sum(floors.values()), 1),
+        }), flush=True)
+        if not args.windows:
+            return
 
     if args.windows:
         # window-length sweep of the production step, one shared compile.

@@ -164,6 +164,23 @@ def main():
                   + b.get("image_ref", np.empty((0,))).shape[0])
     dt = time.perf_counter() - t0
     ms_per_batch = dt / args.batches * 1e3
+
+    # per-image serial cost decomposition: on an N-core production host
+    # (a v5e host exposes dozens of vCPUs per chip) the pipeline scales
+    # with worker processes, so the portable number is serial ms/image ->
+    # cores needed to hit the step budget (this box has os.cpu_count()
+    # cores; with 1 core no pool can beat serial cost)
+    probe = {}
+    for name, ds in (("Cityscapes", dm.datasets["train"][0]),
+                     ("ACDC", dm.datasets["train"][1])):
+        t = time.perf_counter()
+        reps = 6
+        for i in range(reps):
+            ds[i % len(ds)]
+        probe[name] = (time.perf_counter() - t) / reps * 1e3
+    imgs_per_step = args.batch_size // 2 * 3  # src + trg + ref
+    serial_ms_per_step = (args.batch_size // 2 * probe["Cityscapes"]
+                          + args.batch_size // 2 * probe["ACDC"])
     need = args.step_ms
     print(json.dumps({
         "metric": "host_pipeline_batch_time",
@@ -171,10 +188,14 @@ def main():
         "unit": "ms/merged-batch",
         "mode": os.environ.get("REFIGN_TPU_LOADER", "thread"),
         "workers": args.workers,
+        "host_cores": os.cpu_count(),
         "crop": args.crop,
         "img_per_s": round(n_img / dt, 2),
         "step_budget_ms": need,
         "headroom_x": round(need / ms_per_batch, 2),
+        "serial_sample_ms": {k: round(v, 1) for k, v in probe.items()},
+        "imgs_per_step": imgs_per_step,
+        "cores_needed_for_budget": round(serial_ms_per_step / need, 1),
         "verdict": ("feeds the chip" if ms_per_batch < need
                     else "HOST-BOUND: chip would starve"),
     }), flush=True)
