@@ -62,6 +62,13 @@ class AlignConfig:
     norm_std: Tuple[float, float, float] = (0.229, 0.224, 0.225)
     # bf16 compute at the apply boundary (reference AMP), fp32 master params
     compute_dtype: str = "bfloat16"
+    # rematerialize each differentiated head pass: the step runs THREE
+    # UAWarpC passes whose activations are otherwise all live until the
+    # losses' backward — at the production stage geometry (520^2 b6,
+    # uawarpc_stage1.yaml) that is 28.4 GB of HBM vs the v5e's 15.75 GB.
+    # checkpointing caps the peak at one pass's fwd+bwd (recompute is
+    # cheap: the head is a fraction of the frozen-VGG FLOPs)
+    remat_head: bool = False
 
 
 class AlignTrainState(NamedTuple):
@@ -233,14 +240,21 @@ def make_align_train_step(backbone, head, tx, cfg: AlignConfig):
             variables = {"params": _cast(params),
                          "batch_stats": state.batch_stats}
 
-            def head_pass(vs, trg_pyr, src_pyr, trg256, src256):
+            def _head_pass(vs, trg_pyr, src_pyr, trg256, src256):
                 # head signature is (trg, src, trg_256, src_256) -> flow
                 # trg->src (uawarpc.py:95)
                 out, mut = head.apply(
                     vs, trg_pyr, src_pyr, trg256, src256, (H, W),
                     train=True, mutable=["batch_stats"])
+                return out, mut["batch_stats"]
+
+            _pass = (jax.checkpoint(_head_pass) if cfg.remat_head
+                     else _head_pass)
+
+            def head_pass(vs, trg_pyr, src_pyr, trg256, src256):
+                out, new_stats = _pass(vs, trg_pyr, src_pyr, trg256, src256)
                 return out, {"params": vs["params"],
-                             "batch_stats": mut["batch_stats"]}
+                             "batch_stats": new_stats}
 
             prime_i, variables = head_pass(
                 variables, pyr_prime, pyr_i, pyr_prime_256, pyr_i_256)

@@ -134,6 +134,64 @@ class _PatchConv(nn.Module):
         return y, (oh, ow)
 
 
+class _PackedBN(nn.Module):
+    """TorchBatchNorm semantics on the PACKED (B,H,W,P*C) patch layout
+    (P patch positions, C channels, C fastest-varying).
+
+    The obvious alternative — reshape to (B*H*W*P, 1, 1, C) and call
+    TorchBatchNorm — materializes an fp32 copy whose (…,1,C=32) trailing
+    dims the TPU (8,128) tiling pads 4x: at the MegaDepth stage geometry
+    (520² b6, finest level) that single temp is 2.37 GB and the train step
+    OOMs.  Here the per-channel affine is applied on the packed layout
+    (trailing dim P*C ≈ multiple of 128, ~6% padding) in the input dtype;
+    only the (C,)-sized statistics run in fp32.  Param/variable names and
+    torch running-stat semantics (biased var for normalization, unbiased
+    for the running update, momentum 0.1) match TorchBatchNorm exactly, so
+    converted checkpoints load unchanged.
+    """
+    channels: int
+    momentum: float = 0.1
+    epsilon: float = 1e-5
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, use_running_average: bool = True):
+        C = self.channels
+        P = x.shape[-1] // C
+        assert x.shape[-1] == P * C
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((C,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((C,), jnp.float32))
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            # fp32 reductions over (B,H,W,P) per channel; the reshape feeds
+            # a fused reduce, nothing big is materialized
+            xr = x.reshape(x.shape[:-1] + (P, C)).astype(jnp.float32)
+            axes = tuple(range(xr.ndim - 1))
+            mean = jnp.mean(xr, axis=axes)
+            mean_sq = jnp.mean(jnp.square(xr), axis=axes)
+            if self.axis_name is not None:
+                mean = jax.lax.pmean(mean, self.axis_name)
+                mean_sq = jax.lax.pmean(mean_sq, self.axis_name)
+            var = mean_sq - jnp.square(mean)
+            n = x.size // C
+            if self.axis_name is not None:
+                n = n * jax.lax.psum(1, self.axis_name)
+            unbiased = var * (n / max(n - 1, 1))
+            if not self.is_initializing():
+                m = self.momentum
+                ra_mean.value = (1 - m) * ra_mean.value + m * mean
+                ra_var.value = (1 - m) * ra_var.value + m * unbiased
+        scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
+        a = scale * jax.lax.rsqrt(var + self.epsilon)
+        b = bias - mean * a
+        return x * jnp.tile(a, P).astype(x.dtype) \
+            + jnp.tile(b, P).astype(x.dtype)
+
+
 class _PatchCBR(nn.Module):
     """_PatchConv + BatchNorm + LeakyReLU with ConvBNReLU's param tree
     ('conv'/'bn') and BN statistics over exactly the same sample set as the
@@ -147,16 +205,12 @@ class _PatchCBR(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False):
-        from ..nn.layers import TorchBatchNorm
         y, (oh, ow) = _PatchConv(self.ih, self.iw, self.cin, self.cout,
                                  use_bias=not self.use_norm,
                                  name="conv")(x)
         if self.use_norm:
-            B, H, W, _ = y.shape
-            yv = y.reshape(B * H * W * oh * ow, 1, 1, self.cout)
-            yv = TorchBatchNorm(axis_name=self.bn_axis_name, name="bn")(
-                yv, use_running_average=not train)
-            y = yv.reshape(B, H, W, oh * ow * self.cout)
+            y = _PackedBN(self.cout, axis_name=self.bn_axis_name,
+                          name="bn")(y, use_running_average=not train)
         return leaky_relu(y), (oh, ow)
 
 

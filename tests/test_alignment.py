@@ -294,3 +294,40 @@ def test_prime_photometric_and_crop_after_flow():
     new_state, logs = step(state, batch, jax.random.PRNGKey(1))
     assert np.isfinite(float(logs["train_matching_loss"]))
     assert int(new_state.step) == 1
+
+
+def test_align_train_step_remat_head_numerics_identical():
+    """remat_head (AlignConfig) recomputes the three differentiated UAWarpC
+    passes in backward instead of keeping all their activations live — the
+    memory fix that lets the production stage geometry (520^2 b6,
+    uawarpc_stage1.yaml) fit the v5e's 15.75 GB HBM (without it the step
+    needs 28.4 GB).  jax.checkpoint must not change a single bit of math."""
+    backbone = VGG(model_type="vgg11", out_indices=(2, 3, 4))
+    head = UAWarpCHead(in_index=(0, 1), estimate_uncertainty=True)
+    key = jax.random.PRNGKey(0)
+    rng = np.random.RandomState(5)
+    B, H, W = 2, 64, 64
+    batch = {
+        "image_ref": rng.randn(B, H, W, 3).astype(np.float32),
+        "image_trg": rng.randn(B, H, W, 3).astype(np.float32),
+    }
+    bvars = backbone.init(key, np.zeros((1, 256, 256, 3), np.float32))
+    feats = backbone.apply(bvars, np.zeros((1, H, W, 3), np.float32),
+                           extract_only_indices=[-3, -2])
+    feats256 = backbone.apply(bvars, np.zeros((1, 256, 256, 3), np.float32),
+                              extract_only_indices=[-2, -1])
+    hvars = head.init(key, feats, feats, feats256, feats256, (H, W))
+    tx, _ = make_adam_optimizer(1e-4, [100], weight_decay=4e-4)
+
+    out = {}
+    for remat in (False, True):
+        cfg = AlignConfig(visibility_mask=True, remat_head=remat)
+        state = init_align_state(hvars, bvars["params"], tx)
+        step = jax.jit(make_align_train_step(backbone, head, tx, cfg))
+        state, logs = step(state, batch, key)
+        state, logs = step(state, batch, jax.random.fold_in(key, 1))
+        out[remat] = (
+            float(logs["train_matching_loss"]),
+            float(sum(np.sum(np.square(np.asarray(x)))
+                      for x in jax.tree_util.tree_leaves(state.params))))
+    np.testing.assert_allclose(out[True], out[False], rtol=1e-6)

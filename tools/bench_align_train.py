@@ -41,6 +41,15 @@ def main():
     ap.add_argument("--windows", default=None,
                     help="comma list of window lengths (relay "
                     "characterization; overrides --steps)")
+    ap.add_argument("--no-remat", action="store_true",
+                    help="disable head-pass remat (without it the 3-pass "
+                    "step needs 28.4 GB HBM at stage geometry and OOMs "
+                    "the 16 GB v5e)")
+    ap.add_argument("--scan-floor", type=int, default=0, metavar="K",
+                    help="authoritative DEVICE time: K chained train steps "
+                    "inside one lax.scan dispatch (relay-immune; images "
+                    "chained through the carry so the frozen-VGG pyramids "
+                    "cannot be hoisted as loop-invariant)")
     args = ap.parse_args()
 
     import jax
@@ -61,6 +70,7 @@ def main():
         prime_blur=(0.2, 7, 0.2, 2.0),
         crop_after_flow=(args.crop, args.crop),
         visibility_mask=(args.stage == 2),
+        remat_head=not args.no_remat,
     )
     key = jax.random.PRNGKey(0)
     rng = np.random.RandomState(0)
@@ -104,6 +114,39 @@ def main():
 
     geometry = (f"vgg16+uawarpc stage{args.stage} load{L}^2 "
                 f"crop{C}^2 b{B}")
+
+    if args.scan_floor:
+        K = args.scan_floor
+
+        @jax.jit
+        def scan_steps(st, b, key):
+            def body(carry, k):
+                st_c, eps = carry
+                b2 = {kk: vv + eps for kk, vv in b.items()}
+                new_st, logs = step_fn(st_c, b2, k)
+                loss = logs["train_matching_loss"]
+                return (new_st, loss * 0.0), loss
+            keys = jax.random.split(key, K)
+            (st2, _), losses = jax.lax.scan(body, (st, jnp.float32(0.0)),
+                                            keys)
+            return losses[-1]
+
+        t0 = time.time()
+        jax.block_until_ready(scan_steps(state, batch, key))
+        scan_compile_s = time.time() - t0
+        t0 = time.perf_counter()
+        jax.block_until_ready(scan_steps(state, batch, key))
+        dt = (time.perf_counter() - t0) / K
+        print(json.dumps({
+            "metric": "uawarpc_train_step_device_floor",
+            "value": round(dt * 1e3, 1),
+            "unit": "ms/step (single-dispatch lax.scan, relay-immune)",
+            "geometry": geometry,
+            "K": K,
+            "compile_s": round(scan_compile_s, 1),
+            "days_for_400k_stage1": round(400000 * dt / 86400, 2),
+            "days_for_225k_stage2": round(225000 * dt / 86400, 2),
+        }), flush=True)
     windows = ([int(x) for x in args.windows.split(",")]
                if args.windows else [args.steps])
     for w in windows:
