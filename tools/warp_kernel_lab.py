@@ -236,7 +236,10 @@ VARIANTS = [
 def roofline_ms(B, H, W, C, bytes_per=2):
     # minimal traffic: read src once + write out once (+ grid, negligible)
     gb = 2 * B * H * W * C * bytes_per / 1e9
-    return gb / 0.819 * 1e3  # v5e ~819 GB/s
+    # v5e ~819 GB/s; time_ms = GB / (GB/s) * 1e3.  (r4 fix: an earlier
+    # version divided by 0.819 AND multiplied by 1e3 — 1000x too high,
+    # which made the printed "x roof" ratios meaningless)
+    return gb / 819.0 * 1e3
 
 
 def main():
