@@ -68,6 +68,7 @@ class CombinedDataModule:
                  data_dir: Optional[str] = None,
                  debug: bool = False,
                  ignore_every_second_semantic_training_batch: bool = False,
+                 device_normalize: bool = False,
                  **kwargs):
         data_dir = data_dir or os.environ.get("DATA_DIR", "")
         self.debug = debug
@@ -108,6 +109,16 @@ class CombinedDataModule:
         # image_prime-only photometric transforms to the device side (the
         # prime view is synthesized on device, so host-decoding/augmenting
         # it would be wasted work — and its augs must still happen)
+        # device_normalize (TPU-first input path): strip the TRAIN stage's
+        # trailing ConvertImageDtype + Normalize from the host pipeline so
+        # samples stay uint8 end-to-end on the host — 4x fewer
+        # host->device bytes per step and no host fp32 math; the train
+        # step applies (x/255 - mean)/std on device, fused by XLA into the
+        # first conv.  Eval/test/predict pipelines are untouched.
+        self.device_normalize = bool(device_normalize
+                                     or os.environ.get(
+                                         "REFIGN_TPU_DEVICE_NORMALIZE")
+                                     == "1")
         self.prime_photometric_settings: dict = {}
         self.normalize_settings: Optional[dict] = None
         for stage in ("train", "val", "test", "predict"):
@@ -148,6 +159,11 @@ class CombinedDataModule:
                         self.normalize_settings = {
                             "mean": tuple(float(v) for v in t.mean),
                             "std": tuple(float(v) for v in t.std)}
+                        if self.device_normalize:
+                            continue  # applied on device by the train step
+                    if (stage == "train" and self.device_normalize
+                            and isinstance(t, T.ConvertImageDtype)):
+                        continue  # uint8 stays; device does x/255
                     pipeline.append(t)
                 if prime_stripped and "load_keys" in conf:
                     conf["load_keys"] = [k for k in conf["load_keys"]

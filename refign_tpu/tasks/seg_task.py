@@ -91,6 +91,12 @@ class SegTask:
             blur=margs.get("blur", True),
             compute_dtype=_precision_dtype(
                 self.trainer_cfg.get("precision", 16)),
+            device_normalize=bool(getattr(datamodule, "device_normalize",
+                                          False)),
+            **({"norm_mean": tuple(norm["mean"]),
+                "norm_std": tuple(norm["std"])}
+               if (norm := getattr(datamodule, "normalize_settings", None))
+               else {}),
         )
         self.backbone_lr_factor = margs.get("backbone_lr_factor", 1.0)
         self.use_slide_inference = margs.get("use_slide_inference", False)

@@ -63,6 +63,15 @@ class UDAConfig:
     # README.md:262): params/images cast to bf16 at the apply boundary, fp32
     # master params and fp32 loss/softmax/warp islands preserved.
     compute_dtype: str = "bfloat16"
+    # TPU-first input path (CombinedDataModule device_normalize=True): the
+    # host ships uint8 images (4x fewer host->device bytes) and the step
+    # applies ConvertImageDtype+Normalize on device, fused by XLA into the
+    # first conv.  Identical math to the host transforms; fp32 batches
+    # pass through untouched, so the goldens and the host-normalized path
+    # are unaffected.
+    device_normalize: bool = False
+    norm_mean: Tuple[float, float, float] = (0.485, 0.456, 0.406)
+    norm_std: Tuple[float, float, float] = (0.229, 0.224, 0.225)
 
 
 class UDATrainState(NamedTuple):
@@ -131,6 +140,19 @@ def make_uda_train_step(segmentor: Segmentor,
     def _cast(tree):
         from ..parallel.mesh import cast_floating
         return cast_floating(tree, cdt) if cdt != jnp.float32 else tree
+
+    def _norm_batch(b):
+        """Device-side ConvertImageDtype + Normalize for uint8 input
+        batches (cfg.device_normalize); float batches pass through."""
+        if not cfg.device_normalize:
+            return b
+        nm = jnp.asarray(cfg.norm_mean, jnp.float32)
+        nsd = jnp.asarray(cfg.norm_std, jnp.float32)
+        out = dict(b)
+        for k in ("image_src", "image_trg", "image_ref"):
+            if k in out and out[k].dtype == jnp.uint8:
+                out[k] = (out[k].astype(jnp.float32) / 255.0 - nm) / nsd
+        return out
 
     def student_src_forward(params, batch_stats, images, rng, train=True):
         """Returns (logits_at_input_res, aux) where aux carries hr branch +
@@ -242,6 +264,7 @@ def make_uda_train_step(segmentor: Segmentor,
     def prefix_fn(state: UDATrainState, batch: Dict[str, jax.Array],
                   align_params, rng: jax.Array, use_ref_as_target: bool):
         """No-grad prologue: EMA refresh, pseudo-labels, DACS mixing."""
+        batch = _norm_batch(batch)
         k_teacher, k_dacs = jax.random.split(rng)
 
         # 1. EMA teacher refresh (reference does it first, :151)
@@ -271,6 +294,7 @@ def make_uda_train_step(segmentor: Segmentor,
     def core_fn(state: UDATrainState, batch: Dict[str, jax.Array],
                 mixed_img, mixed_lbl, mixed_weight, rng: jax.Array):
         """Differentiated section: student passes, fdist, grad, update."""
+        batch = _norm_batch(batch)
         k_src, k_mix = jax.random.split(rng)
         gt_src = batch["semantic_src"]
 

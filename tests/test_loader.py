@@ -152,3 +152,48 @@ def test_process_mode_parity_determinism_and_errors():
         for _ in DataLoader(_FlakyDataset(), batch_size=2, num_workers=2,
                             mode="process"):
             pass
+
+
+def test_device_normalize_strips_host_normalize(tmp_path):
+    """CombinedDataModule(device_normalize=True): the TRAIN pipeline stops
+    at uint8 (ConvertImageDtype + Normalize stripped, settings recorded for
+    the device-side step); eval pipelines keep host normalization."""
+    import numpy as np
+    from PIL import Image
+
+    root = tmp_path / "data"
+    rng = np.random.RandomState(0)
+    for split in ("train", "val"):
+        idir = root / "Cityscapes" / "leftImg8bit" / split / "cityA"
+        sdir = root / "Cityscapes" / "gtFine" / split / "cityA"
+        idir.mkdir(parents=True, exist_ok=True)
+        sdir.mkdir(parents=True, exist_ok=True)
+        for i in range(2):
+            Image.fromarray(
+                rng.randint(0, 255, (64, 128, 3), np.uint8)).save(
+                idir / f"a_{i}_leftImg8bit.png")
+            Image.fromarray(rng.randint(0, 19, (64, 128), np.uint8)).save(
+                sdir / f"a_{i}_gtFine_labelTrainIds.png")
+
+    from refign_tpu.data.module import CombinedDataModule
+    tf = [
+        {"class_path": "data_modules.transforms.ToTensor"},
+        {"class_path": "data_modules.transforms.RandomCrop",
+         "init_args": {"size": [32, 32]}},
+        {"class_path": "data_modules.transforms.ConvertImageDtype"},
+        {"class_path": "data_modules.transforms.Normalize"},
+    ]
+    lc = {"train": {"Cityscapes": {"load_keys": ["image", "semantic"],
+                                   "transforms": [dict(t) for t in tf]}},
+          "val": {"Cityscapes": {"load_keys": ["image", "semantic"],
+                                 "transforms": [dict(t) for t in tf]}}}
+    dm = CombinedDataModule(load_config=lc, batch_size=2, num_workers=1,
+                            data_dir=str(root), device_normalize=True)
+    dm.setup("fit")
+    train_sample = dm.datasets["train"][0][0]
+    assert train_sample["image"].dtype == np.uint8, "train must stay uint8"
+    assert dm.normalize_settings is not None
+    assert dm.normalize_settings["mean"][0] == pytest.approx(0.485)
+    val_sample = dm.datasets["val"][0][0]
+    assert val_sample["image"].dtype == np.float32, \
+        "eval pipeline must keep host normalize"

@@ -150,3 +150,46 @@ def test_uda_train_step_bn_backbone_fdist():
     s1 = jax.tree_util.tree_leaves(new_state.batch_stats)
     assert any(not np.allclose(np.asarray(a), np.asarray(b))
                for a, b in zip(s0, s1)), "BN stats never updated"
+
+
+def test_device_normalize_matches_host_normalize():
+    """cfg.device_normalize: a uint8 batch normalized ON DEVICE
+    ((x/255 - mean)/std inside jit_prefix/jit_core) must produce the same
+    step as the host-normalized fp32 batch — same math, moved across the
+    PCIe boundary (4x fewer host->device bytes).  fp32 compute so the
+    comparison is exact-tolerance."""
+    seg = _build(False)
+    rng = np.random.RandomState(11)
+    B, H, W = 2, 64, 64
+    MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+    STD = np.array([0.229, 0.224, 0.225], np.float32)
+    u8 = {
+        "image_src": rng.randint(0, 256, (B, H, W, 3)).astype(np.uint8),
+        "semantic_src": rng.randint(0, 19, size=(B, H, W)),
+        "image_trg": rng.randint(0, 256, (B, H, W, 3)).astype(np.uint8),
+        "image_ref": rng.randint(0, 256, (B, H, W, 3)).astype(np.uint8),
+    }
+    host = dict(u8)
+    for k in ("image_src", "image_trg", "image_ref"):
+        host[k] = ((u8[k].astype(np.float32) / 255.0 - MEAN) / STD)
+
+    key = jax.random.PRNGKey(3)
+    out = {}
+    for name, cfg, batch in (
+            ("host", UDAConfig(use_refign=False, enable_fdist=True,
+                               compute_dtype="float32"), host),
+            ("device", UDAConfig(use_refign=False, enable_fdist=True,
+                                 compute_dtype="float32",
+                                 device_normalize=True), u8)):
+        variables = seg.init(key, np.zeros((1, H, W, 3), np.float32),
+                             method=Segmentor.logits_and_features)
+        tx, _ = make_uda_optimizer(variables["params"], 6e-4, 0.01, 100)
+        state = init_uda_state(variables["params"],
+                               variables.get("batch_stats", {}), tx)
+        step = make_uda_train_step(seg, None, None, tx, cfg)
+        state, logs = step(state, batch, None, key)
+        out[name] = {k: float(v) for k, v in logs.items()}
+    for k in out["host"]:
+        np.testing.assert_allclose(
+            out["device"][k], out["host"][k], rtol=1e-6, atol=1e-7,
+            err_msg=f"{k} diverged between host and device normalize")
