@@ -49,22 +49,33 @@ class SyntheticDataModule:
     """
 
     def __init__(self, batch_per_source: int, size: int, refign: bool,
-                 pool: int = 6, drop_half: bool = False, seed: int = 0):
+                 pool: int = 6, drop_half: bool = False, seed: int = 0,
+                 device_normalize: bool = False):
         rng = np.random.RandomState(seed)
         B, S = batch_per_source, size
         self.ignore_every_second_semantic_training_batch = drop_half
         self.batch_size = 2 * B
+        self.device_normalize = device_normalize
+        if device_normalize:
+            self.normalize_settings = {"mean": (0.485, 0.456, 0.406),
+                                       "std": (0.229, 0.224, 0.225)}
+
+        def img():
+            if device_normalize:  # host ships uint8, step normalizes
+                return rng.randint(0, 256, (B, S, S, 3)).astype(np.uint8)
+            return rng.randn(B, S, S, 3).astype(np.float32)
+
         # FitBookkeeper fires one final val at max_steps; expose an empty
         # val surface so evaluate() is a no-op instead of a crash
         self.stage_on = {"train": ["Cityscapes", "ACDC"], "val": []}
         self.datasets = {}
         self._pool = []
         for _ in range(pool):
-            src = {"image": rng.randn(B, S, S, 3).astype(np.float32),
+            src = {"image": img(),
                    "semantic": rng.randint(0, 19, size=(B, S, S))}
-            trg = {"image": rng.randn(B, S, S, 3).astype(np.float32)}
+            trg = {"image": img()}
             if refign:
-                trg["image_ref"] = rng.randn(B, S, S, 3).astype(np.float32)
+                trg["image_ref"] = img()
             self._pool.append([src, trg])
 
     def setup(self, stage):
@@ -100,6 +111,10 @@ def main():
     ap.add_argument("--backbone-type", default=None,
                     help="override the student backbone model_type "
                     "(smoke-testing the tool on CPU with mit_b0)")
+    ap.add_argument("--device-norm", action="store_true",
+                    help="uint8 host batches + on-device normalize "
+                    "(CombinedDataModule device_normalize=True parity): "
+                    "4x fewer h2d bytes per step")
     args = ap.parse_args()
 
     import refign_tpu  # noqa: F401
@@ -139,7 +154,8 @@ def main():
     refign = bool(margs.get("use_refign", False)
                   or margs.get("alignment_head"))
     dm = SyntheticDataModule(batch_per_source, size, refign,
-                             pool=args.pool, drop_half=drop_half)
+                             pool=args.pool, drop_half=drop_half,
+                             device_normalize=args.device_norm)
     task = SegTask(margs, opt, sched, trainer_cfg, dm)
 
     workdir = tempfile.mkdtemp(prefix="bench_fit_")
@@ -167,7 +183,8 @@ def main():
         "unit": "ms/step (median steady-state window)",
         "config": os.path.basename(args.config),
         "geometry": f"{size}^2 b{batch_per_source}+{batch_per_source}"
-                    f"{' drop-half' if drop_half else ''}",
+                    f"{' drop-half' if drop_half else ''}"
+                    f"{' device-norm-uint8' if args.device_norm else ''}",
         "log_every": args.log_every,
         "windows": windows,
         "total_wall_s": round(wall, 1),
