@@ -60,6 +60,11 @@ class AlignConfig:
     crop_after_flow: Optional[Tuple[int, int]] = None
     norm_mean: Tuple[float, float, float] = (0.485, 0.456, 0.406)
     norm_std: Tuple[float, float, float] = (0.229, 0.224, 0.225)
+    # TPU-first input path (CombinedDataModule device_normalize): train
+    # batches arrive uint8 and the step applies (x/255 - mean)/std on
+    # device — 4x fewer host->device bytes, no host fp32 math (same
+    # mechanism as UDAConfig.device_normalize; eval keeps host normalize)
+    device_normalize: bool = False
     # bf16 compute at the apply boundary (reference AMP), fp32 master params
     compute_dtype: str = "bfloat16"
     # rematerialize each differentiated head pass: the step runs THREE
@@ -198,6 +203,19 @@ def make_align_train_step(backbone, head, tx, cfg: AlignConfig):
         k_prime, k_drop = jax.random.split(rng)
         images_ref = batch["image_ref"]
         images_trg = batch["image_trg"]
+        if cfg.device_normalize:
+            # device-side ConvertImageDtype + Normalize for uint8 input
+            # batches; float batches pass through (fp32 exact, fused by
+            # XLA into the first VGG conv / prime-view denormalize)
+            nm = jnp.asarray(cfg.norm_mean, jnp.float32)
+            nsd = jnp.asarray(cfg.norm_std, jnp.float32)
+
+            def _n(x):
+                return ((x.astype(jnp.float32) / 255.0 - nm) / nsd
+                        if x.dtype == jnp.uint8 else x)
+
+            images_ref = _n(images_ref)
+            images_trg = _n(images_trg)
 
         prime = jax.lax.stop_gradient(
             prepare_alignment_batch(k_prime, images_ref, images_trg, cfg))

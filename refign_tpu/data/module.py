@@ -68,7 +68,7 @@ class CombinedDataModule:
                  data_dir: Optional[str] = None,
                  debug: bool = False,
                  ignore_every_second_semantic_training_batch: bool = False,
-                 device_normalize: bool = False,
+                 device_normalize: bool = True,
                  **kwargs):
         data_dir = data_dir or os.environ.get("DATA_DIR", "")
         self.debug = debug
@@ -109,16 +109,21 @@ class CombinedDataModule:
         # image_prime-only photometric transforms to the device side (the
         # prime view is synthesized on device, so host-decoding/augmenting
         # it would be wasted work — and its augs must still happen)
-        # device_normalize (TPU-first input path): strip the TRAIN stage's
-        # trailing ConvertImageDtype + Normalize from the host pipeline so
-        # samples stay uint8 end-to-end on the host — 4x fewer
-        # host->device bytes per step and no host fp32 math; the train
-        # step applies (x/255 - mean)/std on device, fused by XLA into the
-        # first conv.  Eval/test/predict pipelines are untouched.
-        self.device_normalize = bool(device_normalize
-                                     or os.environ.get(
-                                         "REFIGN_TPU_DEVICE_NORMALIZE")
-                                     == "1")
+        # device_normalize (TPU-first input path, DEFAULT ON): strip the
+        # TRAIN stage's trailing ConvertImageDtype + Normalize from the
+        # host pipeline so samples stay uint8 end-to-end on the host — 4x
+        # fewer host->device bytes per step and no host fp32 math; the
+        # train step applies (x/255 - mean)/std on device, fused by XLA
+        # into the first conv (UDAConfig/AlignConfig.device_normalize;
+        # step == host-normalized step at rtol 1e-6, see
+        # test_uda_train/test_alignment equivalence tests).  Measured on
+        # the production fit loop: 535 -> 266 ms/step through the dev
+        # tunnel (PARITY.md r4 campaign).  Eval/test/predict pipelines are
+        # untouched.  REFIGN_TPU_DEVICE_NORMALIZE=0 forces the reference's
+        # host-side fp32 normalize (A/B switch).
+        env = os.environ.get("REFIGN_TPU_DEVICE_NORMALIZE")
+        self.device_normalize = (env != "0" if env is not None
+                                 else bool(device_normalize))
         self.prime_photometric_settings: dict = {}
         self.normalize_settings: Optional[dict] = None
         for stage in ("train", "val", "test", "predict"):

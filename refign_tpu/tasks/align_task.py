@@ -60,6 +60,8 @@ class AlignTask:
             crop_after_flow=cf.get("crop_after_flow"),
             norm_mean=norm.get("mean", (0.485, 0.456, 0.406)),
             norm_std=norm.get("std", (0.229, 0.224, 0.225)),
+            device_normalize=bool(getattr(datamodule, "device_normalize",
+                                          False)),
             apply_constant_flow_weights=margs.get(
                 "apply_constant_flow_weights", False),
             visibility_mask=us_args.get("visibility_mask", False),

@@ -331,3 +331,47 @@ def test_align_train_step_remat_head_numerics_identical():
             float(sum(np.sum(np.square(np.asarray(x)))
                       for x in jax.tree_util.tree_leaves(state.params))))
     np.testing.assert_allclose(out[True], out[False], rtol=1e-6)
+
+
+def test_align_device_normalize_matches_host_normalize():
+    """AlignConfig.device_normalize: a uint8 batch normalized ON DEVICE
+    ((x/255 - mean)/std at train-step entry) must produce the same step as
+    the host-normalized fp32 batch — the same math moved across the PCIe
+    boundary (4x fewer host->device bytes; CombinedDataModule strips the
+    trailing ConvertImageDtype+Normalize when device_normalize is on).
+    fp32 compute so the comparison is tight-tolerance."""
+    backbone = VGG(model_type="vgg11", out_indices=(2, 3, 4))
+    head = UAWarpCHead(in_index=(0, 1), estimate_uncertainty=True)
+    key = jax.random.PRNGKey(5)
+    rng = np.random.RandomState(9)
+    B, H, W = 2, 64, 64
+    MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+    STD = np.array([0.229, 0.224, 0.225], np.float32)
+    u8 = {
+        "image_ref": rng.randint(0, 256, (B, H, W, 3)).astype(np.uint8),
+        "image_trg": rng.randint(0, 256, (B, H, W, 3)).astype(np.uint8),
+    }
+    host = {k: (v.astype(np.float32) / 255.0 - MEAN) / STD
+            for k, v in u8.items()}
+
+    bvars = backbone.init(key, np.zeros((1, 256, 256, 3), np.float32))
+    feats = backbone.apply(bvars, np.zeros((1, H, W, 3), np.float32),
+                           extract_only_indices=[-3, -2])
+    feats256 = backbone.apply(bvars, np.zeros((1, 256, 256, 3), np.float32),
+                              extract_only_indices=[-2, -1])
+    hvars = head.init(key, feats, feats, feats256, feats256, (H, W))
+    tx, _ = make_adam_optimizer(1e-4, [100], weight_decay=4e-4)
+
+    out = {}
+    for name, cfg, batch in (
+            ("host", AlignConfig(compute_dtype="float32"), host),
+            ("device", AlignConfig(compute_dtype="float32",
+                                   device_normalize=True), u8)):
+        state = init_align_state(hvars, bvars["params"], tx)
+        step = jax.jit(make_align_train_step(backbone, head, tx, cfg))
+        state, logs = step(state, batch, key)
+        out[name] = {k: float(v) for k, v in logs.items()}
+    for k in out["host"]:
+        np.testing.assert_allclose(
+            out["device"][k], out["host"][k], rtol=1e-6, atol=1e-7,
+            err_msg=f"{k} diverged between host and device normalize")

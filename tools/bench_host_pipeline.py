@@ -146,8 +146,12 @@ def main():
             },
         },
     }
+    # device_normalize=False: this tool measures the REFERENCE-parity host
+    # pipeline (fp32 ConvertImageDtype + Normalize on the host), matching
+    # the recorded artifact; the production default moves that to device
     dm = CombinedDataModule(load_config=load_config, batch_size=args.batch_size,
-                            num_workers=args.workers, data_dir=args.root)
+                            num_workers=args.workers, data_dir=args.root,
+                            device_normalize=False)
     dm.setup("fit")
     loaders = dm.train_dataloaders(seed=0)
     iters = [iter(InfiniteLoader(l)) for l in loaders]
