@@ -53,7 +53,7 @@ def build_backbone(spec: Dict[str, Any]):
     if name == "MixVisionTransformer":
         known = {k: v for k, v in args.items()
                  if k in ("model_type", "drop_path_rate", "qk_scale",
-                          "in_chans", "remat")}
+                          "in_chans", "remat", "remat_policy")}
         return MixVisionTransformer(**known), pretrained
     if name == "ResNet":
         known = {k: v for k, v in args.items()

@@ -199,13 +199,19 @@ class MixVisionTransformer(nn.Module):
     ``remat=True`` rematerializes each transformer block on the backward
     pass (jax.checkpoint) — the TPU analog of the reference's activation
     checkpointing option (models/modules.py:118,139-142), trading FLOPs for
-    HBM at large crop sizes.
+    HBM at large crop sizes.  ``remat_policy='dots'`` keeps every matmul
+    OUTPUT resident (jax.checkpoint_policies.dots_with_no_batch_dims
+    _saveable) and recomputes only the elementwise tail (LN/GELU/softmax/
+    bias) in the backward — less recompute on the MXU for a modest HBM
+    increase over full-block remat; measured A/B lives in
+    tools/bench_core_parts.py --remat-policy.
     """
     model_type: str = "mit_b5"
     drop_path_rate: float = 0.1
     qk_scale: Optional[float] = None
     in_chans: int = 3
     remat: bool = False
+    remat_policy: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jax.Array,
@@ -218,8 +224,17 @@ class MixVisionTransformer(nn.Module):
         depths = cfg["depths"]
         dpr = np.linspace(0, self.drop_path_rate, sum(depths)).tolist()
         patch_cfg = [(7, 4), (3, 2), (3, 2), (3, 2)]
-        block_cls = (nn.remat(Block, static_argnums=(2,)) if self.remat
-                     else Block)
+        if self.remat:
+            policy = None
+            if self.remat_policy == "dots":
+                policy = jax.checkpoint_policies.\
+                    dots_with_no_batch_dims_saveable
+            elif self.remat_policy is not None:
+                raise ValueError(
+                    f"unknown remat_policy {self.remat_policy!r}")
+            block_cls = nn.remat(Block, static_argnums=(2,), policy=policy)
+        else:
+            block_cls = Block
         outs = []
         cur = 0
         for s in range(4):

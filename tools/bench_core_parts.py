@@ -66,6 +66,10 @@ def main():
                     "memory-bound core (HBM floor ~190 ms vs MXU ~18 ms) "
                     "recomputing activations in backward can cut HBM "
                     "bytes below the no-remat program's roofline")
+    ap.add_argument("--remat-policy", default=None, choices=("dots",),
+                    help="with --remat: 'dots' saves matmul outputs and "
+                    "recomputes only the elementwise tail (finer policy "
+                    "than whole-block remat)")
     ap.add_argument("--refign", action="store_true",
                     help="measure the FULL refign prefix (teacher b2x2 + "
                     "VGG/UAWarpC align + refine + DACS) instead of the "
@@ -107,9 +111,11 @@ def main():
     B, S = args.batch, args.size
 
     from refign_tpu.models.heads.segformer import SegFormerHead
-    seg = Segmentor(backbone=MixVisionTransformer(model_type=args.model,
-                                                  drop_path_rate=0.1,
-                                                  remat=args.remat),
+    seg = Segmentor(backbone=MixVisionTransformer(
+                        model_type=args.model,
+                        drop_path_rate=0.1,
+                        remat=args.remat,
+                        remat_policy=args.remat_policy),
                     head=DAFormerHead(num_classes=19),
                     scale_attention=(SegFormerHead(num_classes=19)
                                      if args.hrda else None))
