@@ -60,9 +60,10 @@ def _grid_ac_true(H, W):
 # ---------------------------------------------------------------------------
 
 
-def affine_mapping(rng, H: int, W: int, random_alpha=0.065, random_s=0.6,
+def _affine_params(rng, random_alpha=0.065, random_s=0.6,
                    random_tx=0.3, random_ty=0.1,
-                   preserve_aspect_ratio=True) -> jax.Array:
+                   preserve_aspect_ratio=True):
+    """Sample the affine map (A, t) — transforms.py:604-645."""
     k = jax.random.split(rng, 5)
     rot = (jax.random.uniform(k[0]) - 0.5) * 2 * random_alpha
     sh = (jax.random.uniform(k[1]) - 0.5) * 2 * random_alpha
@@ -81,10 +82,17 @@ def affine_mapping(rng, H: int, W: int, random_alpha=0.065, random_s=0.6,
     R_a = jnp.array([[ca, -sa], [sa, ca]])
     D = jnp.diag(jnp.stack([l1, l2]))
     A = R_a @ R_sh.T @ D @ R_sh
+    return A, jnp.stack([tx, ty])
 
+
+def affine_mapping(rng, H: int, W: int, random_alpha=0.065, random_s=0.6,
+                   random_tx=0.3, random_ty=0.1,
+                   preserve_aspect_ratio=True) -> jax.Array:
+    A, t = _affine_params(rng, random_alpha, random_s, random_tx, random_ty,
+                          preserve_aspect_ratio)
     gx, gy = _grid_ac_false(H, W)
-    mx = A[0, 0] * gx + A[0, 1] * gy + tx
-    my = A[1, 0] * gx + A[1, 1] * gy + ty
+    mx = A[0, 0] * gx + A[0, 1] * gy + t[0]
+    my = A[1, 0] * gx + A[1, 1] * gy + t[1]
     return jnp.stack([mx, my], axis=-1)
 
 
@@ -176,14 +184,66 @@ def afftps_mapping(rng, H: int, W: int, random_alpha=0.065, random_s=0.6,
                    random_t_tps_for_afftps=0.0,
                    preserve_aspect_ratio=True) -> jax.Array:
     ka, kt = jax.random.split(rng)
-    aff = affine_mapping(ka, H, W, random_alpha, random_s, random_tx,
-                         random_ty, preserve_aspect_ratio)
+    A, t = _affine_params(ka, random_alpha, random_s, random_tx, random_ty,
+                          preserve_aspect_ratio)
     tps = tps_mapping(kt, H, W, random_t_tps_for_afftps)
-    aff = _oob_sentinel(aff)
-    # compose: sample the affine mapping (as a 2-channel image) at tps coords
-    comp = grid_sample(aff[None], tps[None], align_corners=True,
-                       padding_mode="zeros")[0]
+    # compose: the reference samples the (sentineled) affine mapping image
+    # at the tps coordinates with bilinear grid_sample
+    # (transforms.py:1084-1109).  The affine field is LINEAR in the pixel
+    # grid, so each of grid_sample's four corner reads is itself
+    # A @ grid(corner) + t — computable elementwise, no gather.  This
+    # mirrors grid_sample's exact corner/weight/clip/zero-padding algebra
+    # (ops/warp.py:41-92) including the -1e10 out-of-bounds sentinels, so
+    # it produces the gather version's fp32 results while removing the
+    # step's single most expensive op (measured 110 ms of the 755 ms
+    # UAWarpC train step at 750^2 b6 — artifacts/align_prime_decomp_r04):
+    # TPU gathers at C=2 are pathological (warp-lab).
+    comp = _compose_affine_at(A, t, tps, H, W)
     return _oob_sentinel_wrt(comp, tps)
+
+
+def _affine_value(A, t, ix, iy, H: int, W: int):
+    """Sentineled affine-mapping image value at integer pixel coords
+    (ix, iy): A @ grid_ac_false(ix, iy) + t, with strictly-out-of-bounds
+    values replaced by -1e10 exactly like _oob_sentinel."""
+    gx = (2.0 * ix + 1.0) / W - 1.0
+    gy = (2.0 * iy + 1.0) / H - 1.0
+    mx = A[0, 0] * gx + A[0, 1] * gy + t[0]
+    my = A[1, 0] * gx + A[1, 1] * gy + t[1]
+    inb = (mx > -1) & (mx < 1) & (my > -1) & (my < 1)
+    f = inb.astype(mx.dtype)
+    return f * mx + (f - 1.0) * 1e10, f * my + (f - 1.0) * 1e10
+
+
+def _compose_affine_at(A, t, grid: jax.Array, H: int, W: int) -> jax.Array:
+    """grid_sample(sentineled affine mapping, grid, align_corners=True,
+    padding_mode='zeros') computed analytically — identical corner values,
+    weights, clipping and zero-padding as ops/warp.grid_sample."""
+    g = grid.astype(jnp.float32)
+    gx = (g[..., 0] + 1.0) * 0.5 * (W - 1)
+    gy = (g[..., 1] + 1.0) * 0.5 * (H - 1)
+    x0 = jnp.floor(gx)
+    y0 = jnp.floor(gy)
+    wx = gx - x0
+    wy = gy - y0
+
+    def corner(ix, iy):
+        valid = ((ix >= 0) & (ix <= W - 1) & (iy >= 0) & (iy <= H - 1))
+        ixc = jnp.clip(ix, 0, W - 1).astype(jnp.int32).astype(jnp.float32)
+        iyc = jnp.clip(iy, 0, H - 1).astype(jnp.int32).astype(jnp.float32)
+        vx, vy = _affine_value(A, t, ixc, iyc, H, W)
+        f = valid.astype(vx.dtype)
+        return vx * f, vy * f
+
+    v00x, v00y = corner(x0, y0)
+    v01x, v01y = corner(x0 + 1, y0)
+    v10x, v10y = corner(x0, y0 + 1)
+    v11x, v11y = corner(x0 + 1, y0 + 1)
+    mx = (v00x * (1 - wx) * (1 - wy) + v01x * wx * (1 - wy)
+          + v10x * (1 - wx) * wy + v11x * wx * wy)
+    my = (v00y * (1 - wx) * (1 - wy) + v01y * wx * (1 - wy)
+          + v10y * (1 - wx) * wy + v11y * wx * wy)
+    return jnp.stack([mx, my], axis=-1)
 
 
 def _oob_sentinel_wrt(values: jax.Array, grid: jax.Array) -> jax.Array:
@@ -322,34 +382,70 @@ def composite_flow(rng, H: int, W: int,
 
 
 def apply_synthetic_flow(image: jax.Array, flow: jax.Array,
-                         min_fraction_valid_corr: float = 0.1):
+                         min_fraction_valid_corr: float = 0.1,
+                         out_slice=None):
     """Warp image by the synthetic flow; build the supervision mask
     (transforms.py:1384-1395).
 
     Args:
       image: (H, W, 3); flow: (H, W, 2).
-    Returns (image_prime, flow, mask) with mask (H, W) bool.
+      out_slice: optional (top, left, th, tw) window — compute the warp
+        ONLY on that output window (reading from the FULL image).  Exactly
+        equals warping at full resolution then slicing: the gather indices
+        of output pixel (top+h, left+w) depend only on grid+flow at that
+        pixel.  The reference CenterCrops after CompositeFlow
+        (megadepth.py:408-413), so the full-res warp outside the crop is
+        dead work — at the MegaDepth stage geometry (750^2 load, 520^2
+        crop) this removes 52% of the step's most pathological op (a C=3
+        gather, measured ~121 ms of the 755 ms step —
+        artifacts/align_prime_decomp_r04.txt).  The too-small-mask
+        fallback keeps the reference's FULL-grid border-mask sum.
+    Returns (image_prime, flow, mask), each sliced to out_slice if given.
     """
-    warped, warp_mask = warp(image[None], flow[None], padding_mode="zeros",
-                             return_mask=True)
-    border_mask = gt_correspondence_mask(flow[None])
     H, W = flow.shape[:2]
+    border_mask = gt_correspondence_mask(flow[None])
     too_small = (jnp.sum(border_mask) <
                  H * W * min_fraction_valid_corr)
-    mask = jnp.where(too_small, border_mask[0], warp_mask[0])
-    return warped[0], flow, mask
+    if out_slice is None:
+        warped, warp_mask = warp(image[None], flow[None],
+                                 padding_mode="zeros", return_mask=True)
+        mask = jnp.where(too_small, border_mask[0], warp_mask[0])
+        return warped[0], flow, mask
+    top, left, th, tw = out_slice
+    fc = jax.lax.dynamic_slice(flow, (top, left, 0), (th, tw, 2))
+    # offset base grid: grid_full[top+h, left+w] = grid(th,tw) + (left,top)
+    vgrid = (_grid_xy(th, tw) + jnp.asarray([left, top], jnp.float32)
+             + fc.astype(jnp.float32))
+    gx = 2.0 * vgrid[..., 0] / max(W - 1, 1) - 1.0
+    gy = 2.0 * vgrid[..., 1] / max(H - 1, 1) - 1.0
+    grid = jnp.stack([gx, gy], axis=-1)
+    warped = grid_sample(image[None], grid[None], align_corners=True,
+                         padding_mode="zeros")[0]
+    warp_mask = (gx > -1) & (gx < 1) & (gy > -1) & (gy < 1)
+    bm = jax.lax.dynamic_slice(border_mask[0], (top, left), (th, tw))
+    mask = jnp.where(too_small, bm, warp_mask)
+    return warped, fc, mask
 
 
-def batched_composite_flow(rng, images: jax.Array, **kwargs):
+def _grid_xy(H: int, W: int) -> jax.Array:
+    """(H, W, 2) pixel grid, channel order (x, y), float32."""
+    xx = jnp.arange(W, dtype=jnp.float32)[None, :].repeat(H, axis=0)
+    yy = jnp.arange(H, dtype=jnp.float32)[:, None].repeat(W, axis=1)
+    return jnp.stack([xx, yy], axis=-1)
+
+
+def batched_composite_flow(rng, images: jax.Array, out_slice=None,
+                           **kwargs):
     """vmap over the batch: per-image random flow + warped image + mask.
 
-    images: (B, H, W, 3) -> (image_prime, flow, mask) batched.
+    images: (B, H, W, 3) -> (image_prime, flow, mask) batched, sliced to
+    ``out_slice`` (top, left, th, tw) if given.
     """
     B, H, W, _ = images.shape
     keys = jax.random.split(rng, B)
 
     def one(key, img):
         flow = composite_flow(key, H, W, **kwargs)
-        return apply_synthetic_flow(img, flow)
+        return apply_synthetic_flow(img, flow, out_slice=out_slice)
 
     return jax.vmap(one)(keys, images)

@@ -74,6 +74,11 @@ class AlignConfig:
     # checkpointing caps the peak at one pass's fwd+bwd (recompute is
     # cheap: the head is a fraction of the frozen-VGG FLOPs)
     remat_head: bool = False
+    # 'dots': keep each pass's matmul/conv outputs resident and recompute
+    # only the elementwise tail in the backward (align_opt_lab measured
+    # the full-recompute fwd at ~39 ms/pass of the 755 ms step; the finer
+    # policy trades a little HBM to get most of that back)
+    remat_head_policy: Optional[str] = None
 
 
 class AlignTrainState(NamedTuple):
@@ -126,12 +131,17 @@ def _prime_photometric(rng, base, cfg: AlignConfig):
     return (x - mean) / std
 
 
-def prepare_alignment_batch(rng, images_ref, images_trg, cfg: AlignConfig):
+def prepare_alignment_batch(rng, images_ref, images_trg, cfg: AlignConfig,
+                            out_slice=None):
     """Synthesize the prime view (reference megadepth.py:408-413 +
     CompositeFlow transform): per-sample coin picks the base image
     (prime_trg_idx=1 -> derived from trg; distributionally equivalent to
     the reference's exchange_images_with_proba + always-target prime),
-    then photometric augs and a random geometric flow warp."""
+    then photometric augs and a random geometric flow warp.
+
+    out_slice: optional (top, left, th, tw) — return image_prime /
+    flow_prime / mask_prime already sliced to that window, with the warp
+    gathers computed only there (exact; see apply_synthetic_flow)."""
     B = images_ref.shape[0]
     k_coin, k_photo, k_flow = jax.random.split(rng, 3)
     prime_trg_idx = jax.random.bernoulli(k_coin, 0.5, (B,))
@@ -141,7 +151,7 @@ def prepare_alignment_batch(rng, images_ref, images_trg, cfg: AlignConfig):
             or cfg.prime_blur is not None):
         base = _prime_photometric(k_photo, base, cfg)
     image_prime, flow_prime, mask_prime = batched_composite_flow(
-        k_flow, base,
+        k_flow, base, out_slice=out_slice,
         include_transforms=cfg.include_transforms,
         random_alpha=cfg.random_alpha, random_s=cfg.random_s,
         random_tx=cfg.random_tx, random_ty=cfg.random_ty,
@@ -217,29 +227,27 @@ def make_align_train_step(backbone, head, tx, cfg: AlignConfig):
             images_ref = _n(images_ref)
             images_trg = _n(images_trg)
 
-        prime = jax.lax.stop_gradient(
-            prepare_alignment_batch(k_prime, images_ref, images_trg, cfg))
-        idx = prime["prime_trg_idx"]
-
+        out_slice = None
         if cfg.crop_after_flow is not None:
-            # reference CenterCrop after CompositeFlow: the flow was
-            # synthesized on the full (e.g. 750^2) grid; crop images, prime,
-            # flow and mask consistently (displacements are relative, so
-            # the cropped flow stays valid)
+            # reference CenterCrop after CompositeFlow: the flow is
+            # synthesized on the full (e.g. 750^2) grid; images, prime,
+            # flow and mask are cropped consistently (displacements are
+            # relative, so the cropped flow stays valid).  The prime warp
+            # gathers ONLY the cropped window (exact — see
+            # apply_synthetic_flow out_slice).
             th, tw = cfg.crop_after_flow
             h0, w0 = images_trg.shape[1:3]
             top = int(round((h0 - th) / 2.0))
             left = int(round((w0 - tw) / 2.0))
+            out_slice = (top, left, th, tw)
 
-            def cc(x):
-                return x[:, top:top + th, left:left + tw]
+        prime = jax.lax.stop_gradient(prepare_alignment_batch(
+            k_prime, images_ref, images_trg, cfg, out_slice=out_slice))
+        idx = prime["prime_trg_idx"]
 
-            images_ref = cc(images_ref)
-            images_trg = cc(images_trg)
-            prime = dict(prime,
-                         image_prime=cc(prime["image_prime"]),
-                         flow_prime=cc(prime["flow_prime"]),
-                         mask_prime=cc(prime["mask_prime"]))
+        if out_slice is not None:
+            images_ref = images_ref[:, top:top + th, left:left + tw]
+            images_trg = images_trg[:, top:top + th, left:left + tw]
         H, W = images_trg.shape[1:3]
 
         (pyrs, pyrs256) = jax.lax.stop_gradient(extract_pyramids(
@@ -266,8 +274,18 @@ def make_align_train_step(backbone, head, tx, cfg: AlignConfig):
                     train=True, mutable=["batch_stats"])
                 return out, mut["batch_stats"]
 
-            _pass = (jax.checkpoint(_head_pass) if cfg.remat_head
-                     else _head_pass)
+            if cfg.remat_head:
+                policy = None
+                if cfg.remat_head_policy == "dots":
+                    policy = jax.checkpoint_policies.\
+                        dots_with_no_batch_dims_saveable
+                elif cfg.remat_head_policy is not None:
+                    raise ValueError(
+                        f"unknown remat_head_policy "
+                        f"{cfg.remat_head_policy!r}")
+                _pass = jax.checkpoint(_head_pass, policy=policy)
+            else:
+                _pass = _head_pass
 
             def head_pass(vs, trg_pyr, src_pyr, trg256, src256):
                 out, new_stats = _pass(vs, trg_pyr, src_pyr, trg256, src256)

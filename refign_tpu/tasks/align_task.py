@@ -79,6 +79,13 @@ class AlignTask:
             add_elastic=cf.get("add_elastic", False),
             compute_dtype=_precision_dtype(
                 self.trainer_cfg.get("precision", 16)),
+            # TPU memory knob (no reference analog): the 3-pass step needs
+            # 28.4 GB of HBM un-checkpointed at the MegaDepth stage
+            # geometry (520^2 b6) vs the v5e's 15.75 GB, so head-pass
+            # remat defaults ON for training; model.init_args.remat_head
+            # / remat_head_policy override (PARITY.md r4 campaign)
+            remat_head=bool(margs.get("remat_head", True)),
+            remat_head_policy=margs.get("remat_head_policy"),
         )
         self.pretrained = margs.get("pretrained")
         self.metrics_cfg = parse_metrics(margs.get("metrics", {}))

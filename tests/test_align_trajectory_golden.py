@@ -151,8 +151,9 @@ def test_align_training_trajectory_matches_reference(data_np, monkeypatch):
         "mask_prime": jnp.asarray(data_np["mask_prime"]),
         "prime_trg_idx": jnp.asarray(data_np["prime_trg_idx"], jnp.int32),
     }
-    monkeypatch.setattr(trainer_mod, "prepare_alignment_batch",
-                        lambda rng, ref, trg, cfg: dict(fixed_prime))
+    monkeypatch.setattr(
+        trainer_mod, "prepare_alignment_batch",
+        lambda rng, ref, trg, cfg, out_slice=None: dict(fixed_prime))
 
     cfg = AlignConfig(visibility_mask=True, compute_dtype="float32")
     tx, _ = make_adam_optimizer(LR, [100], gamma=0.5, weight_decay=WD)

@@ -176,6 +176,74 @@ def test_tps_oracle():
     np.testing.assert_allclose(got, want[0], rtol=1e-3, atol=1e-4)
 
 
+def test_afftps_analytic_compose_matches_grid_sample():
+    """afftps_mapping composes affine-of-TPS analytically (the affine field
+    is linear, so each of grid_sample's corner reads is A @ grid + t) —
+    it must reproduce the reference's gather formulation exactly:
+    grid_sample(sentineled affine image, tps coords, align_corners=True,
+    padding_mode=zeros) then re-sentinel (transforms.py:1084-1109).
+    Includes the OOB-sentinel bleed regions (values ~1e10)."""
+    from refign_tpu.alignment.synthetic_flows import (_affine_params,
+                                                      _oob_sentinel,
+                                                      _oob_sentinel_wrt,
+                                                      afftps_mapping,
+                                                      tps_mapping)
+    from refign_tpu.ops.warp import grid_sample
+
+    for seed, (H, W) in ((0, (40, 56)), (7, (33, 33)), (13, (75, 75))):
+        rng = jax.random.PRNGKey(seed)
+        # large perturbations so the sentinel/padding branches are hit
+        got = np.asarray(afftps_mapping(rng, H, W, random_alpha=0.26,
+                                        random_s=0.9, random_tx=0.6,
+                                        random_ty=0.6,
+                                        random_t_tps_for_afftps=0.3))
+        ka, kt = jax.random.split(rng)
+        A, t = _affine_params(ka, 0.26, 0.9, 0.6, 0.6, True)
+        gx_, gy_ = np.meshgrid((2.0 * np.arange(W) + 1.0) / W - 1.0,
+                               (2.0 * np.arange(H) + 1.0) / H - 1.0)
+        A = np.asarray(A)
+        t = np.asarray(t)
+        aff = jnp.asarray(np.stack([A[0, 0] * gx_ + A[0, 1] * gy_ + t[0],
+                                    A[1, 0] * gx_ + A[1, 1] * gy_ + t[1]],
+                                   axis=-1), jnp.float32)
+        tps = tps_mapping(kt, H, W, 0.3)
+        want = _oob_sentinel_wrt(
+            grid_sample(_oob_sentinel(aff)[None], tps[None],
+                        align_corners=True, padding_mode="zeros")[0], tps)
+        want = np.asarray(want)
+        assert (np.abs(got) > 1e8).any() or seed != 13, \
+            "test should exercise sentinel regions at least once"
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-5)
+
+
+def test_apply_synthetic_flow_out_slice_equals_full_then_crop():
+    """out_slice computes the warp only on the crop window; it must equal
+    warping at full resolution then slicing — including the
+    too-small-border-mask fallback, whose sum stays on the FULL grid."""
+    from refign_tpu.alignment.synthetic_flows import composite_flow
+    rng = np.random.RandomState(5)
+    H = W = 48
+    top, left, th, tw = 7, 9, 24, 26
+    img = jnp.asarray(rng.rand(H, W, 3).astype(np.float32))
+    flows = [
+        np.asarray(composite_flow(jax.random.PRNGKey(3), H, W)),
+        # huge displacement -> border mask nearly empty -> too_small branch
+        np.full((H, W, 2), 3.0 * W, np.float32),
+    ]
+    for fl in flows:
+        fl = jnp.asarray(fl)
+        w_full, f_full, m_full = apply_synthetic_flow(img, fl)
+        w_s, f_s, m_s = apply_synthetic_flow(
+            img, fl, out_slice=(top, left, th, tw))
+        sl = (slice(top, top + th), slice(left, left + tw))
+        np.testing.assert_array_equal(np.asarray(w_full)[sl],
+                                      np.asarray(w_s))
+        np.testing.assert_array_equal(np.asarray(f_full)[sl],
+                                      np.asarray(f_s))
+        np.testing.assert_array_equal(np.asarray(m_full)[sl],
+                                      np.asarray(m_s))
+
+
 def test_apply_synthetic_flow_masks():
     rng = np.random.RandomState(2)
     img = rng.rand(16, 20, 3).astype(np.float32)
@@ -320,17 +388,21 @@ def test_align_train_step_remat_head_numerics_identical():
     tx, _ = make_adam_optimizer(1e-4, [100], weight_decay=4e-4)
 
     out = {}
-    for remat in (False, True):
-        cfg = AlignConfig(visibility_mask=True, remat_head=remat)
+    variants = {"none": dict(remat_head=False),
+                "full": dict(remat_head=True),
+                "dots": dict(remat_head=True, remat_head_policy="dots")}
+    for name, kw in variants.items():
+        cfg = AlignConfig(visibility_mask=True, **kw)
         state = init_align_state(hvars, bvars["params"], tx)
         step = jax.jit(make_align_train_step(backbone, head, tx, cfg))
         state, logs = step(state, batch, key)
         state, logs = step(state, batch, jax.random.fold_in(key, 1))
-        out[remat] = (
+        out[name] = (
             float(logs["train_matching_loss"]),
             float(sum(np.sum(np.square(np.asarray(x)))
                       for x in jax.tree_util.tree_leaves(state.params))))
-    np.testing.assert_allclose(out[True], out[False], rtol=1e-6)
+    np.testing.assert_allclose(out["full"], out["none"], rtol=1e-6)
+    np.testing.assert_allclose(out["dots"], out["none"], rtol=1e-6)
 
 
 def test_align_device_normalize_matches_host_normalize():

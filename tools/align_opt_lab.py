@@ -19,6 +19,7 @@ Usage: python tools/align_opt_lab.py [--probes vgg,head1] [--scan 10]
        [--batch 6] [--load 750] [--crop 520]
 """
 import argparse
+import dataclasses
 import json
 import os
 import sys
@@ -166,6 +167,28 @@ def main():
         return flows + eps
     run("prime_flowgen", chain(flowgen_body), batch)
 
+    # single-branch flow generators (no switch): which branch is the cost?
+    from refign_tpu.alignment.synthetic_flows import (afftps_mapping,
+                                                      homography_mapping,
+                                                      tps_mapping)
+    from refign_tpu.ops.warp import unnormalize_mapping_to_flow
+
+    def mk_branch_body(gen):
+        def branch_body(eps, k, b):
+            keys = jax.random.split(k, B)
+            maps = jax.vmap(lambda kk: gen(kk, L, L))(keys)
+            return unnormalize_mapping_to_flow(maps) + eps
+        return branch_body
+    run("flowgen_hom", chain(mk_branch_body(
+        lambda k, H, W: homography_mapping(k, H, W, cfg.random_t_hom))),
+        batch)
+    run("flowgen_tps", chain(mk_branch_body(
+        lambda k, H, W: tps_mapping(k, H, W, cfg.random_t_tps))), batch)
+    run("flowgen_afftps", chain(mk_branch_body(
+        lambda k, H, W: afftps_mapping(
+            k, H, W, cfg.random_alpha, cfg.random_s, cfg.random_tx,
+            cfg.random_ty, cfg.random_t_tps_for_afftps))), batch)
+
     def warpmask_body(eps, k, b):
         keys = jax.random.split(k, B)
         flows = jax.lax.stop_gradient(jax.vmap(
@@ -174,6 +197,20 @@ def main():
         warped, _, mask = jax.vmap(apply_synthetic_flow)(img, flows)
         return warped + mask[..., None].astype(warped.dtype)
     run("prime_warpmask", chain(warpmask_body), batch)
+
+    # warp+mask gathered only on the production crop window (out_slice)
+    _t0 = (L - C) // 2
+
+    def warpmask_crop_body(eps, k, b):
+        keys = jax.random.split(k, B)
+        flows = jax.lax.stop_gradient(jax.vmap(
+            lambda kk: composite_flow(kk, L, L, **flow_kwargs))(keys))
+        img = b["image_trg"] + eps
+        warped, _, mask = jax.vmap(
+            lambda im, fl: apply_synthetic_flow(
+                im, fl, out_slice=(_t0, _t0, C, C)))(img, flows)
+        return warped + mask[..., None].astype(warped.dtype)
+    run("prime_warpmask_crop", chain(warpmask_crop_body), batch)
 
     # --- frozen VGG pyramids: 3 sets x 2 resolutions at crop size
     bb_cast = cast_floating(state.backbone_params, cdt)
@@ -203,6 +240,22 @@ def main():
     run("head1", chain(mk_head_body(head, hv)), bb_cast, hv, img_i, img_j)
     run("head1_nou", chain(mk_head_body(head_nou, hv_nou)), bb_cast,
         hv_nou, img_i, img_j)
+
+    # --- head without the two RefinementModules (dilated chains at 32^2
+    # and 130^2) — isolates their share of the pass
+    head_noref = UAWarpCHead(in_index=(0, 1), estimate_uncertainty=True,
+                             refinement_at_adaptive_res=False,
+                             refinement_at_finest_level=False)
+    if only is None or "head1_noref" in only:
+        with jax.default_device(cpu):
+            hvars_noref = head_noref.init(key, feats, feats, f256, f256,
+                                          (C, C))
+        hv_noref = jax.device_put(
+            {"params": cast_floating(hvars_noref["params"], cdt),
+             "batch_stats": hvars_noref.get("batch_stats", {})},
+            jax.devices()[0])
+        run("head1_noref", chain(mk_head_body(head_noref, hv_noref)),
+            bb_cast, hv_noref, img_i, img_j)
 
     # --- full loss forward (3 passes + both losses), no grad
     def fwd3_body(eps, k, st, b):
@@ -284,20 +337,64 @@ def main():
         return (l + gsum).reshape(1)
     run("grad1", chain(grad1_body), state, batch)
 
-    # --- production step
-    step_fn = make_align_train_step(backbone, head, tx, cfg)
+    # --- one pass + ss loss fwd+bwd on PRECOMPUTED pyramids (no prime, no
+    # VGG): isolates the differentiated core.  Variants: no-uncertainty,
+    # and corr backward through XLA vs the Pallas fwd default.
+    def mk_passgrad(h, hv_full, use_pallas_env):
+        def passgrad_body(eps, k, st, b):
+            old = os.environ.get("REFIGN_TPU_CORR_PALLAS")
+            if use_pallas_env is not None:
+                os.environ["REFIGN_TPU_CORR_PALLAS"] = use_pallas_env
+            try:
+                ii = img_i + eps.astype(cdt)
+                jj = img_j + eps.astype(cdt)
+                pyrs, pyrs256 = jax.lax.stop_gradient(extract_pyramids(
+                    backbone, bb_cast, ii, jj, 0.5 * (ii + jj)))
+                gtf = jax.lax.stop_gradient(
+                    jnp.zeros((B, C, C, 2), jnp.float32) + eps)
 
-    def full_scan(st, b):
-        def body(carry, k):
-            st_c, eps = carry
-            b2 = {kk: vv + eps for kk, vv in b.items()}
-            new_st, logs = step_fn(st_c, b2, k)
-            loss = logs["train_matching_loss"]
-            return (new_st, loss * 0.0), loss
-        (st2, _), losses = jax.lax.scan(body, (st, jnp.float32(0.0)),
-                                        jax.random.split(key, K))
-        return losses[-1]
-    run("full", full_scan, state, batch)
+                def loss_fn(p):
+                    vs = {"params": cast_floating(p, cdt),
+                          "batch_stats": hv_full["batch_stats"]}
+                    out = h.apply(vs, pyrs[2], pyrs[0], pyrs256[2],
+                                  pyrs256[0], (C, C), train=True,
+                                  mutable=["batch_stats"])[0]
+                    return multi_scale_flow_loss(out, gtf, None,
+                                                 loss_type=cfg.loss_type)
+                l, g = jax.value_and_grad(loss_fn)(hv_full["params"])
+                gsum = jax.tree_util.tree_reduce(
+                    lambda a, x: a + jnp.sum(x.astype(jnp.float32)), g, 0.0)
+                return (l + gsum).reshape(1)
+            finally:
+                if use_pallas_env is not None:
+                    if old is None:
+                        os.environ.pop("REFIGN_TPU_CORR_PALLAS", None)
+                    else:
+                        os.environ["REFIGN_TPU_CORR_PALLAS"] = old
+        return passgrad_body
+    run("passgrad", chain(mk_passgrad(head, hv, None)), state, batch)
+    run("passgrad_nou", chain(mk_passgrad(head_nou, hv_nou, None)), state,
+        batch)
+    run("passgrad_corrxla", chain(mk_passgrad(head, hv, "0")), state, batch)
+
+    # --- production step (and the dots-remat variant)
+    def mk_full_scan(step_fn):
+        def full_scan(st, b):
+            def body(carry, k):
+                st_c, eps = carry
+                b2 = {kk: vv + eps for kk, vv in b.items()}
+                new_st, logs = step_fn(st_c, b2, k)
+                loss = logs["train_matching_loss"]
+                return (new_st, loss * 0.0), loss
+            (st2, _), losses = jax.lax.scan(body, (st, jnp.float32(0.0)),
+                                            jax.random.split(key, K))
+            return losses[-1]
+        return full_scan
+    run("full", mk_full_scan(make_align_train_step(backbone, head, tx,
+                                                   cfg)), state, batch)
+    cfg_dots = dataclasses.replace(cfg, remat_head_policy="dots")
+    run("full_dots", mk_full_scan(make_align_train_step(
+        backbone, head, tx, cfg_dots)), state, batch)
 
     print(json.dumps({"probe": "summary", "ms": {k: round(v, 1)
                                                  for k, v in probes.items()},

@@ -45,6 +45,9 @@ def main():
                     help="disable head-pass remat (without it the 3-pass "
                     "step needs 28.4 GB HBM at stage geometry and OOMs "
                     "the 16 GB v5e)")
+    ap.add_argument("--remat-policy", default=None, choices=("dots",),
+                    help="head-remat policy: 'dots' saves matmul/conv "
+                    "outputs, recomputes only the elementwise tail")
     ap.add_argument("--scan-floor", type=int, default=0, metavar="K",
                     help="authoritative DEVICE time: K chained train steps "
                     "inside one lax.scan dispatch (relay-immune; images "
@@ -71,6 +74,7 @@ def main():
         crop_after_flow=(args.crop, args.crop),
         visibility_mask=(args.stage == 2),
         remat_head=not args.no_remat,
+        remat_head_policy=args.remat_policy,
     )
     key = jax.random.PRNGKey(0)
     rng = np.random.RandomState(0)

@@ -123,6 +123,102 @@ def variant_gather_lax(x, grid):
     return out.reshape(B, H, W, C).astype(x.dtype)
 
 
+def variant_gather_patch22(x, grid):
+    """ONE gather of contiguous (2, 2, C) patches instead of four (1, C)
+    row gathers: start = (clip(y0, 0, H-2), clip(x0, 0, W-2)), then the
+    four corners are selects from the patch with clamped offsets
+    (y - start in {0, 1} for every in-bounds corner; out-of-bounds corners
+    are zero-weighted, zeros padding).  4x fewer gather indices and each
+    read is a coherent 2-row 2C-wide block.  Gathers in the SOURCE dtype
+    (production casts to fp32 before the gather — 2x the bytes for bf16)."""
+    import jax
+    import jax.numpy as jnp
+
+    B, H, W, C = x.shape
+    g = grid.astype(jnp.float32)
+    gx = (g[..., 0] + 1.0) * 0.5 * (W - 1)
+    gy = (g[..., 1] + 1.0) * 0.5 * (H - 1)
+    x0 = jnp.floor(gx)
+    y0 = jnp.floor(gy)
+    wx = (gx - x0)[..., None]
+    wy = (gy - y0)[..., None]
+    N = H * W
+    sy = jnp.clip(y0, 0, H - 2).astype(jnp.int32).reshape(B, N)
+    sx = jnp.clip(x0, 0, W - 2).astype(jnp.int32).reshape(B, N)
+    starts = jnp.stack([sy, sx], axis=-1)  # (B, N, 2)
+
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2, 3), collapsed_slice_dims=(),
+        start_index_map=(0, 1))
+
+    def one(xb, st):
+        return jax.lax.gather(xb, st, dnums, slice_sizes=(2, 2, C),
+                              mode="clip")
+    patches = jax.vmap(one)(x, starts)          # (B, N, 2, 2, C)
+    patches = patches.astype(jnp.float32)
+
+    oy = (y0.reshape(B, N) - sy)                 # 0/1 for in-bounds corners
+    ox = (x0.reshape(B, N) - sx)
+    oy = jnp.clip(oy, 0, 1)[..., None].astype(jnp.float32)
+    ox = jnp.clip(ox, 0, 1)[..., None].astype(jnp.float32)
+    # row/col selects: r0 = patch row for y0, r1 = row for y0+1 (always
+    # row oy+? -> for in-bounds y0, row index oy; y1 = oy+1 clipped ... y1
+    # row = 1 when y0 in-bounds-of-start else 0 (y0=-1 case)
+    oy1 = jnp.clip(y0.reshape(B, N) + 1 - sy, 0, 1)[..., None]
+    ox1 = jnp.clip(x0.reshape(B, N) + 1 - sx, 0, 1)[..., None]
+
+    p = patches.reshape(B, N, 4, C)
+
+    def at(oyk, oxk):
+        sel = (oyk * 2 + oxk).astype(jnp.int32)  # (B, N, 1)
+        return jnp.take_along_axis(p, sel[..., None], axis=2)[:, :, 0]
+
+    v00 = at(oy, ox)
+    v01 = at(oy, ox1)
+    v10 = at(oy1, ox)
+    v11 = at(oy1, ox1)
+
+    def valid(ix, iy):
+        return (((ix >= 0) & (ix <= W - 1) & (iy >= 0)
+                 & (iy <= H - 1)).reshape(B, N, 1).astype(jnp.float32))
+    wxf = wx.reshape(B, N, 1)
+    wyf = wy.reshape(B, N, 1)
+    out = (v00 * valid(x0, y0) * (1 - wxf) * (1 - wyf)
+           + v01 * valid(x0 + 1, y0) * wxf * (1 - wyf)
+           + v10 * valid(x0, y0 + 1) * (1 - wxf) * wyf
+           + v11 * valid(x0 + 1, y0 + 1) * wxf * wyf)
+    return out.reshape(B, H, W, C).astype(x.dtype)
+
+
+def variant_gather_srcdtype(x, grid):
+    """Production 4-gather algebra but gathering in the SOURCE dtype and
+    casting the corners to fp32 after — halves gather bytes for bf16."""
+    import jax.numpy as jnp
+    B, H, W, C = x.shape
+    g = grid.astype(jnp.float32)
+    gx = (g[..., 0] + 1.0) * 0.5 * (W - 1)
+    gy = (g[..., 1] + 1.0) * 0.5 * (H - 1)
+    x0 = jnp.floor(gx)
+    y0 = jnp.floor(gy)
+    wx = (gx - x0)[..., None]
+    wy = (gy - y0)[..., None]
+    src = x.reshape(B, H * W, C)
+
+    def corner(ix, iy):
+        valid = ((ix >= 0) & (ix <= W - 1) & (iy >= 0) & (iy <= H - 1))
+        flat = (jnp.clip(iy, 0, H - 1) * W
+                + jnp.clip(ix, 0, W - 1)).astype(jnp.int32)
+        out = jnp.take_along_axis(src, flat.reshape(B, -1, 1),
+                                  axis=1).reshape(flat.shape + (C,))
+        return out.astype(jnp.float32) * valid[..., None]
+
+    out = (corner(x0, y0) * (1 - wx) * (1 - wy)
+           + corner(x0 + 1, y0) * wx * (1 - wy)
+           + corner(x0, y0 + 1) * (1 - wx) * wy
+           + corner(x0 + 1, y0 + 1) * wx * wy)
+    return out.astype(x.dtype)
+
+
 def _corner_data(x, grid):
     import jax.numpy as jnp
     B, H, W, C = x.shape
@@ -222,12 +318,18 @@ GEOMETRIES = [
     (2, 64, 64, 512),    # L2 (1/8) feature warp (540-scale: 68^2, rounded)
     (2, 128, 128, 256),  # L1 (1/4) feature warp — the round-2 headline
     (1, 540, 960, 19),   # logits warp in align() at eval res
+    # alignment-training call sites (stage 520^2 b6; r4 campaign)
+    (6, 130, 130, 256),  # head L1 feature warp x3 passes
+    (6, 65, 65, 512),    # head L2 feature warp x3 passes
+    (6, 750, 750, 3),    # synthetic-flow image warp (fp32 images)
 ]
 
 VARIANTS = [
     ("gather(prod)", variant_gather, None),
     ("gather_padC", variant_gather_padC, None),
     ("gather_lax", variant_gather_lax, None),
+    ("gather_p22", variant_gather_patch22, None),
+    ("gather_srcdt", variant_gather_srcdtype, None),
     ("onehot_xla", variant_onehot_xla, 64 * 64),     # N cap
     ("onehot_pallas", variant_onehot_pallas, 128 * 128),
 ]
@@ -252,7 +354,10 @@ def main():
     rng = np.random.RandomState(0)
     print(f"{'geometry':>22} {'variant':>14} {'ms':>9} {'x roof':>7}  ok")
     for (B, H, W, C) in geoms:
-        x = jnp.asarray(rng.randn(B, H, W, C), jnp.bfloat16)
+        # image-like call sites (C<=4: synthetic-flow warp) run fp32 in
+        # production; feature warps run bf16
+        dt = jnp.float32 if C <= 4 else jnp.bfloat16
+        x = jnp.asarray(rng.randn(B, H, W, C), dt)
         # flows up to ~25% of the image + out-of-bounds tails
         flow = rng.randn(B, H, W, 2).astype(np.float32) * (0.15 * W)
         from refign_tpu.ops.warp import _base_grid
