@@ -79,6 +79,12 @@ class AlignConfig:
     # the full-recompute fwd at ~39 ms/pass of the 755 ms step; the finer
     # policy trades a little HBM to get most of that back)
     remat_head_policy: Optional[str] = None
+    # keep the LAST head pass unrematerialized: reverse-mode backprop
+    # consumes pass 3's activations FIRST, so they are freed before the
+    # pass-1/2 recomputes run — peak HBM stays ~one pass's activations
+    # above the all-remat step while skipping one forward recompute
+    # (~39 ms of the step; artifacts/align_train_stage1_520_b6_r04b.txt)
+    remat_skip_last: bool = False
 
 
 class AlignTrainState(NamedTuple):
@@ -287,8 +293,9 @@ def make_align_train_step(backbone, head, tx, cfg: AlignConfig):
             else:
                 _pass = _head_pass
 
-            def head_pass(vs, trg_pyr, src_pyr, trg256, src256):
-                out, new_stats = _pass(vs, trg_pyr, src_pyr, trg256, src256)
+            def head_pass(vs, trg_pyr, src_pyr, trg256, src256, fn=None):
+                out, new_stats = (fn or _pass)(vs, trg_pyr, src_pyr,
+                                               trg256, src256)
                 return out, {"params": vs["params"],
                              "batch_stats": new_stats}
 
@@ -296,8 +303,9 @@ def make_align_train_step(backbone, head, tx, cfg: AlignConfig):
                 variables, pyr_prime, pyr_i, pyr_prime_256, pyr_i_256)
             prime_j, variables = head_pass(
                 variables, pyr_prime, pyr_j, pyr_prime_256, pyr_j_256)
+            last_fn = _head_pass if cfg.remat_skip_last else None
             j_i, variables = head_pass(
-                variables, pyr_j, pyr_i, pyr_j_256, pyr_i_256)
+                variables, pyr_j, pyr_i, pyr_j_256, pyr_i_256, fn=last_fn)
 
             ss = multi_scale_flow_loss(
                 prime_i, prime["flow_prime"], prime["mask_prime"],

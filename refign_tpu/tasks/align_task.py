@@ -86,6 +86,7 @@ class AlignTask:
             # / remat_head_policy override (PARITY.md r4 campaign)
             remat_head=bool(margs.get("remat_head", True)),
             remat_head_policy=margs.get("remat_head_policy"),
+            remat_skip_last=bool(margs.get("remat_skip_last", False)),
         )
         self.pretrained = margs.get("pretrained")
         self.metrics_cfg = parse_metrics(margs.get("metrics", {}))

@@ -390,7 +390,8 @@ def test_align_train_step_remat_head_numerics_identical():
     out = {}
     variants = {"none": dict(remat_head=False),
                 "full": dict(remat_head=True),
-                "dots": dict(remat_head=True, remat_head_policy="dots")}
+                "dots": dict(remat_head=True, remat_head_policy="dots"),
+                "skip_last": dict(remat_head=True, remat_skip_last=True)}
     for name, kw in variants.items():
         cfg = AlignConfig(visibility_mask=True, **kw)
         state = init_align_state(hvars, bvars["params"], tx)
@@ -403,6 +404,7 @@ def test_align_train_step_remat_head_numerics_identical():
                       for x in jax.tree_util.tree_leaves(state.params))))
     np.testing.assert_allclose(out["full"], out["none"], rtol=1e-6)
     np.testing.assert_allclose(out["dots"], out["none"], rtol=1e-6)
+    np.testing.assert_allclose(out["skip_last"], out["none"], rtol=1e-6)
 
 
 def test_align_device_normalize_matches_host_normalize():

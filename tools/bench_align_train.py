@@ -48,6 +48,10 @@ def main():
     ap.add_argument("--remat-policy", default=None, choices=("dots",),
                     help="head-remat policy: 'dots' saves matmul/conv "
                     "outputs, recomputes only the elementwise tail")
+    ap.add_argument("--remat-skip-last", action="store_true",
+                    help="leave the third head pass unrematerialized "
+                    "(its activations backprop first, so peak HBM only "
+                    "rises by ~one pass while one fwd recompute is saved)")
     ap.add_argument("--scan-floor", type=int, default=0, metavar="K",
                     help="authoritative DEVICE time: K chained train steps "
                     "inside one lax.scan dispatch (relay-immune; images "
@@ -75,6 +79,7 @@ def main():
         visibility_mask=(args.stage == 2),
         remat_head=not args.no_remat,
         remat_head_policy=args.remat_policy,
+        remat_skip_last=args.remat_skip_last,
     )
     key = jax.random.PRNGKey(0)
     rng = np.random.RandomState(0)

@@ -324,8 +324,18 @@ GEOMETRIES = [
     (6, 750, 750, 3),    # synthetic-flow image warp (fp32 images)
 ]
 
+def variant_gather_packed(x, grid):
+    """The shipped packed path (ops/warp._grid_sample_packed,
+    REFIGN_TPU_WARP_PACK): 2x2 corner neighborhoods pre-packed into 4C
+    channels + ONE gather row per output pixel with per-axis slot-weight
+    reassignment for clipped anchors."""
+    from refign_tpu.ops.warp import _grid_sample_packed
+    return _grid_sample_packed(x, grid, True, "zeros")
+
+
 VARIANTS = [
     ("gather(prod)", variant_gather, None),
+    ("gather_packed", variant_gather_packed, None),
     ("gather_padC", variant_gather_padC, None),
     ("gather_lax", variant_gather_lax, None),
     ("gather_p22", variant_gather_patch22, None),
@@ -351,6 +361,12 @@ def main():
 
     tiny = len(sys.argv) > 1 and sys.argv[1] == "tiny"
     geoms = GEOMETRIES[:1] if tiny else GEOMETRIES
+    if len(sys.argv) > 2 and sys.argv[1] == "--geoms":
+        geoms = [GEOMETRIES[int(i)] for i in sys.argv[2].split(",")]
+    global VARIANTS
+    if len(sys.argv) > 4 and sys.argv[3] == "--variants":
+        want = set(sys.argv[4].split(","))
+        VARIANTS = [v for v in VARIANTS if v[0] in want]
     rng = np.random.RandomState(0)
     print(f"{'geometry':>22} {'variant':>14} {'ms':>9} {'x roof':>7}  ok")
     for (B, H, W, C) in geoms:
