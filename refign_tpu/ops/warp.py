@@ -53,7 +53,15 @@ def grid_sample(x: jax.Array, grid: jax.Array, align_corners: bool = True,
       (B, Ho, Wo, C) sampled output, same dtype as x.
     """
     assert padding_mode in ("zeros", "border")
-    if os.environ.get("REFIGN_TPU_WARP_PACK", "1") != "0":
+    # Shape-dispatched formulation choice (both are exact; warp-lab
+    # evidence artifacts/warp_lab_packed_r04.txt): the packed single-gather
+    # path wins up to 3.2x at wide-channel sites (C=512: 0.92->0.29 ms at
+    # (2,32,32,512), 4.07->2.89 at (6,65,65,512)) where the 4x-wider gather
+    # rows are free, but loses ~8% at (6,130,130,256) and ties at C<=19
+    # where per-row cost no longer dominates.  'auto' picks packed iff
+    # C >= 384; REFIGN_TPU_WARP_PACK=1/0 forces it on/off for A/B.
+    pack = os.environ.get("REFIGN_TPU_WARP_PACK", "auto")
+    if pack == "1" or (pack != "0" and x.shape[-1] >= 384):
         return _grid_sample_packed(x, grid, align_corners, padding_mode)
     B, H, W, C = x.shape
     orig_dtype = x.dtype

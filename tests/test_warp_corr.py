@@ -163,3 +163,56 @@ def test_local_correlation_pallas_vjp_matches_autodiff():
     for a, e in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(e),
                                    rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.fast
+@pytest.mark.parametrize("align_corners", [True, False])
+@pytest.mark.parametrize("padding_mode", ["zeros", "border"])
+def test_grid_sample_packed_matches_torch_extreme_oob(align_corners,
+                                                      padding_mode):
+    import jax.numpy as jnp
+    """The packed single-gather formulation (ops/warp._grid_sample_packed,
+    auto-dispatched for C>=384) vs torch, with coordinates far outside the
+    image so every anchor-clip slot-reassignment branch is hit."""
+    from refign_tpu.ops.warp import _grid_sample_packed
+    rng = np.random.RandomState(3)
+    x = rng.randn(2, 9, 13, 4).astype(np.float32)
+    grid = (rng.rand(2, 7, 11, 2).astype(np.float32) * 5.0 - 2.5)
+    want = F.grid_sample(
+        torch.from_numpy(np.transpose(x, (0, 3, 1, 2))),
+        torch.from_numpy(grid), mode="bilinear",
+        align_corners=align_corners, padding_mode=padding_mode).numpy()
+    want = np.transpose(want, (0, 2, 3, 1))
+    got = np.asarray(_grid_sample_packed(x, jnp.asarray(grid),
+                                         align_corners, padding_mode))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.fast
+def test_grid_sample_packed_grad_matches_4gather():
+    import jax.numpy as jnp
+    """VJP equality of the two exact formulations (warp sits inside the
+    differentiated alignment train step)."""
+    import jax
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.randn(1, 6, 7, 2).astype(np.float32))
+    grid = jnp.asarray((rng.rand(1, 5, 5, 2) * 3.0 - 1.5).astype(np.float32))
+    from refign_tpu.ops.warp import _grid_sample_packed
+
+    def f_packed(x, g):
+        return jnp.sum(_grid_sample_packed(x, g, True, "zeros") ** 2)
+
+    def f_gather(x, g):
+        import os
+        os.environ["REFIGN_TPU_WARP_PACK"] = "0"
+        try:
+            from refign_tpu.ops.warp import grid_sample
+            return jnp.sum(grid_sample(x, g) ** 2)
+        finally:
+            os.environ.pop("REFIGN_TPU_WARP_PACK", None)
+
+    gp = jax.grad(f_packed, argnums=(0, 1))(x, grid)
+    gg = jax.grad(f_gather, argnums=(0, 1))(x, grid)
+    for a, b in zip(gp, gg):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
