@@ -85,6 +85,17 @@ class AlignConfig:
     # above the all-remat step while skipping one forward recompute
     # (~39 ms of the step; artifacts/align_train_stage1_520_b6_r04b.txt)
     remat_skip_last: bool = False
+    # fold the THREE head passes into ONE 3B-batched apply (r5): the convs
+    # see 3x the batch (one launch instead of three), while bn_groups=3
+    # keeps the exact serial-pass math — per-group batch statistics and
+    # sequential running-stat EMA (see TorchBatchNorm.groups).  Gradients
+    # are identical: the losses consume disjoint slices of the 3B output.
+    fold_passes: bool = False
+    # per-submodule remat inside the head (UAWarpCHead.remat_modules):
+    # keeps only module-boundary tensors resident — REQUIRED to fit the
+    # folded 3B pass in HBM at stage geometry (whole-pass remat would
+    # hold all three groups' activations during the recompute)
+    remat_modules: bool = False
 
 
 class AlignTrainState(NamedTuple):
@@ -209,6 +220,9 @@ def make_align_train_step(backbone, head, tx, cfg: AlignConfig):
     """
 
     cdt = jnp.dtype(cfg.compute_dtype)
+    if cfg.fold_passes or cfg.remat_modules:
+        head = head.clone(bn_groups=3 if cfg.fold_passes else 1,
+                          remat_modules=cfg.remat_modules)
 
     def _cast(tree):
         from ..parallel.mesh import cast_floating
@@ -279,6 +293,44 @@ def make_align_train_step(backbone, head, tx, cfg: AlignConfig):
                     vs, trg_pyr, src_pyr, trg256, src256, (H, W),
                     train=True, mutable=["batch_stats"])
                 return out, mut["batch_stats"]
+
+            if cfg.fold_passes:
+                # ONE 3B-batched head apply in pass order [prime->i,
+                # prime->j, j->i]; bn_groups=3 (set in the clone above)
+                # reproduces the serial passes' BN math exactly
+                B = idx.shape[0]
+                cat = lambda a, b, c: [jnp.concatenate([x, y, z])
+                                       for x, y, z in zip(a, b, c)]
+                trg_pyr = cat(pyr_prime, pyr_prime, pyr_j)
+                src_pyr = cat(pyr_i, pyr_j, pyr_i)
+                trg256 = cat(pyr_prime_256, pyr_prime_256, pyr_j_256)
+                src256 = cat(pyr_i_256, pyr_j_256, pyr_i_256)
+                out3, new_stats = _head_pass(variables, trg_pyr, src_pyr,
+                                             trg256, src256)
+
+                def grp(g):
+                    sl = slice(g * B, (g + 1) * B)
+                    return [tuple(t[sl] for t in lv) if isinstance(lv, tuple)
+                            else lv[sl] for lv in out3]
+
+                prime_i, prime_j, j_i = grp(0), grp(1), grp(2)
+                ss = multi_scale_flow_loss(
+                    prime_i, prime["flow_prime"], prime["mask_prime"],
+                    loss_type=cfg.loss_type,
+                    level_weights=cfg.level_weights)
+                us = wbipath_loss(
+                    prime_j, j_i, prime["flow_prime"], prime["mask_prime"],
+                    loss_type=cfg.loss_type,
+                    level_weights=cfg.level_weights,
+                    visibility_mask=cfg.visibility_mask,
+                    alpha_1=cfg.alpha_1, alpha_2=cfg.alpha_2)
+                w_ss, w_us = adaptive_loss_weights(
+                    jax.lax.stop_gradient(ss), jax.lax.stop_gradient(us),
+                    weight_ss=float(cfg.apply_constant_flow_weights))
+                loss = w_ss * ss + w_us * us
+                logs = {"train_matching_loss": loss, "loss_ss": ss,
+                        "loss_us": us}
+                return loss, (new_stats, logs)
 
             if cfg.remat_head:
                 policy = None

@@ -60,6 +60,16 @@ class UAWarpCHead(nn.Module):
     estimate_uncertainty: bool = True
     iterative_refinement: bool = False
     bn_axis_name: Optional[str] = None
+    # bn_groups=G: train-mode BN statistics are computed per-group over a
+    # batch stacking G logical head calls along axis 0, with sequential
+    # running-stat EMA in group order — the exact-math enabler for the
+    # folded 3B-batched alignment train step (see TorchBatchNorm.groups)
+    bn_groups: int = 1
+    # rematerialize each decoder/refinement/uncertainty submodule in the
+    # backward pass: only module boundaries (corr volumes, flows, small
+    # feats) stay resident, capping peak HBM at one submodule's internals
+    # instead of a whole head pass (finer than AlignConfig.remat_head)
+    remat_modules: bool = False
 
     @nn.compact
     def __call__(self, trg, src, trg_256, src_256,
@@ -87,34 +97,47 @@ class UAWarpCHead(nn.Module):
             / math.sqrt(h_256 ** 2 + w_256 ** 2))
         uncert = self.estimate_uncertainty
 
-        decoder4 = OpticalFlowEstimator(
+        # flax lifted-transform static_argnums count the module itself as
+        # argument 0, so `train` sits at position 2 (decoder/refinement)
+        # or 5 (uncertainty).  nn.remat preserves the param tree.
+        Dec = (nn.remat(OpticalFlowEstimator, static_argnums=(2,))
+               if self.remat_modules else OpticalFlowEstimator)
+        Ref = (nn.remat(RefinementModule, static_argnums=(2,))
+               if self.remat_modules else RefinementModule)
+        Unc = (nn.remat(UncertaintyModule, static_argnums=(5,))
+               if self.remat_modules else UncertaintyModule)
+        decoder4 = Dec(
             batch_norm=self.batch_norm, bn_axis_name=self.bn_axis_name,
-            name="decoder4")
-        decoder3 = OpticalFlowEstimator(
+            bn_groups=self.bn_groups, name="decoder4")
+        decoder3 = Dec(
             batch_norm=self.batch_norm, bn_axis_name=self.bn_axis_name,
-            name="decoder3")
-        decoder2 = OpticalFlowEstimator(
+            bn_groups=self.bn_groups, name="decoder3")
+        decoder2 = Dec(
             batch_norm=self.batch_norm, bn_axis_name=self.bn_axis_name,
-            name="decoder2")
-        decoder1 = OpticalFlowEstimator(
+            bn_groups=self.bn_groups, name="decoder2")
+        decoder1 = Dec(
             batch_norm=self.batch_norm, bn_axis_name=self.bn_axis_name,
-            name="decoder1")
+            bn_groups=self.bn_groups, name="decoder1")
         if uncert:
-            um4 = UncertaintyModule(search_size=16, batch_norm=self.batch_norm,
-                                    bn_axis_name=self.bn_axis_name,
-                                    name="estimate_uncertainty_components4")
-            um3 = UncertaintyModule(search_size=9, feed_in_previous=True,
-                                    batch_norm=self.batch_norm,
-                                    bn_axis_name=self.bn_axis_name,
-                                    name="estimate_uncertainty_components3")
-            um2 = UncertaintyModule(search_size=9, feed_in_previous=True,
-                                    batch_norm=self.batch_norm,
-                                    bn_axis_name=self.bn_axis_name,
-                                    name="estimate_uncertainty_components2")
-            um1 = UncertaintyModule(search_size=9, feed_in_previous=True,
-                                    batch_norm=self.batch_norm,
-                                    bn_axis_name=self.bn_axis_name,
-                                    name="estimate_uncertainty_components1")
+            um4 = Unc(search_size=16, batch_norm=self.batch_norm,
+                      bn_axis_name=self.bn_axis_name,
+                      bn_groups=self.bn_groups,
+                      name="estimate_uncertainty_components4")
+            um3 = Unc(search_size=9, feed_in_previous=True,
+                      batch_norm=self.batch_norm,
+                      bn_axis_name=self.bn_axis_name,
+                      bn_groups=self.bn_groups,
+                      name="estimate_uncertainty_components3")
+            um2 = Unc(search_size=9, feed_in_previous=True,
+                      batch_norm=self.batch_norm,
+                      bn_axis_name=self.bn_axis_name,
+                      bn_groups=self.bn_groups,
+                      name="estimate_uncertainty_components2")
+            um1 = Unc(search_size=9, feed_in_previous=True,
+                      batch_norm=self.batch_norm,
+                      bn_axis_name=self.bn_axis_name,
+                      bn_groups=self.bn_groups,
+                      name="estimate_uncertainty_components1")
 
         # ---- level 4: 16x16 global correlation -> mapping ----
         h4, w4 = c14.shape[1:3]
@@ -124,7 +147,7 @@ class UAWarpCHead(nn.Module):
         # dtype, matching reference autocast (fp16 decoder convs)
         corr4 = global_correlation_relu_l2norm(c24, c14).astype(
             c14.dtype)  # (B,16,16,256)
-        est_map4, x4 = decoder4(corr4, train=train)
+        est_map4, x4 = decoder4(corr4, train)
         # decoder stacks run in the compute dtype; the additive flow /
         # log-variance chains stay fp32 (flow magnitudes reach the image
         # size, where bf16 resolution is ~2 px)
@@ -132,7 +155,7 @@ class UAWarpCHead(nn.Module):
             est_map4.astype(jnp.float32))
         flow4_256 = _scale_flow(flow4_256, w_256 / w4, h_256 / h4)
         if uncert:
-            u4_256 = um4(corr4, x4, train=train).astype(jnp.float32)
+            u4_256 = um4(corr4, x4, None, None, train).astype(jnp.float32)
             u4_256 = u4_256 + 2 * math.log(w_256 / w4)
 
         # ---- level 3: 32x32 local correlation ----
@@ -151,15 +174,16 @@ class UAWarpCHead(nn.Module):
                                  up_u4.astype(cdt)], axis=-1) if uncert
                 else jnp.concatenate([corr3, up_flow4.astype(cdt)],
                                      axis=-1))
-        res_flow3, x3 = decoder3(inp3, train=train)
+        res_flow3, x3 = decoder3(inp3, train)
         if self.refinement_at_adaptive_res:
-            res_flow3 = res_flow3 + RefinementModule(
+            res_flow3 = res_flow3 + Ref(
                 batch_norm=self.batch_norm, bn_axis_name=self.bn_axis_name,
-                name="refinement_module_adaptive")(x3, train=train)
+                bn_groups=self.bn_groups,
+                name="refinement_module_adaptive")(x3, train)
         flow3 = res_flow3.astype(jnp.float32) + up_flow4
         if uncert:
             u3 = um3(corr3, x3, up_u4.astype(cdt), up_flow4.astype(cdt),
-                     train=train).astype(jnp.float32)
+                     train).astype(jnp.float32)
 
         # rescale level-3 flow (and uncertainty) to original resolution units
         flow3 = _scale_flow(flow3, w_orig / w_256, h_orig / h_256)
@@ -188,12 +212,12 @@ class UAWarpCHead(nn.Module):
                     axis=-1) if uncert
                        else jnp.concatenate(
                            [corr3b, up_flow3.astype(cdt)], axis=-1))
-                res_flow3, x3 = decoder2(inp, train=train)
+                res_flow3, x3 = decoder2(inp, train)
                 flow3 = res_flow3.astype(jnp.float32) + up_flow3
                 if uncert:
                     u3 = um2(corr3b, x3, up_u3.astype(cdt),
                              up_flow3.astype(cdt),
-                             train=train).astype(jnp.float32)
+                             train).astype(jnp.float32)
 
         # ---- level 2: 1/8 of original ----
         h2, w2 = c12.shape[1:3]
@@ -209,11 +233,11 @@ class UAWarpCHead(nn.Module):
                                  up_u3.astype(cdt)], axis=-1) if uncert
                 else jnp.concatenate([corr2, up_flow3.astype(cdt)],
                                      axis=-1))
-        res_flow2, x2 = decoder2(inp2, train=train)
+        res_flow2, x2 = decoder2(inp2, train)
         flow2 = res_flow2.astype(jnp.float32) + up_flow3
         if uncert:
             u2 = um2(corr2, x2, up_u3.astype(cdt), up_flow3.astype(cdt),
-                     train=train).astype(jnp.float32)
+                     train).astype(jnp.float32)
 
         # ---- level 1: 1/4 of original ----
         h1, w1 = c11.shape[1:3]
@@ -234,17 +258,18 @@ class UAWarpCHead(nn.Module):
                 if uncert
                 else jnp.concatenate([corr1, up_flow2.astype(cdt),
                                       up_feat2.astype(cdt)], axis=-1))
-        res_flow1, x1 = decoder1(inp1, train=train)
+        res_flow1, x1 = decoder1(inp1, train)
         if self.refinement_at_finest_level:
-            res_flow1 = res_flow1 + RefinementModule(
+            res_flow1 = res_flow1 + Ref(
                 batch_norm=self.batch_norm, bn_axis_name=self.bn_axis_name,
-                name="refinement_module_finest")(x1, train=train)
+                bn_groups=self.bn_groups,
+                name="refinement_module_finest")(x1, train)
         flow1 = res_flow1.astype(jnp.float32) + up_flow2
 
         flow4 = _scale_flow(flow4_256, w_orig / w_256, h_orig / h_256)
         if uncert:
             u1 = um1(corr1, x1, up_u2.astype(cdt), up_flow2.astype(cdt),
-                     train=train).astype(jnp.float32)
+                     train).astype(jnp.float32)
             u4 = u4_256 + diag_ratio_log
             return [(flow4, u4), (flow3, u3), (flow2, u2), (flow1, u1)]
         return [flow4, flow3, flow2, flow1]

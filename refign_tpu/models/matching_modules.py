@@ -28,12 +28,14 @@ class OpticalFlowEstimator(nn.Module):
     out_channels: int = 2
     batch_norm: bool = True
     bn_axis_name: Optional[str] = None
+    bn_groups: int = 1
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False):
         cbr = functools.partial(ConvBNReLU, use_norm=self.batch_norm,
                                 activation=None,
-                                bn_axis_name=self.bn_axis_name)
+                                bn_axis_name=self.bn_axis_name,
+                                bn_groups=self.bn_groups)
         x0 = cbr(128, kernel_size=3, name="conv_0")(x, train=train)
         x0_relu = leaky_relu(x0)
         x1 = leaky_relu(
@@ -59,12 +61,14 @@ class RefinementModule(nn.Module):
     out_channels: int = 2
     batch_norm: bool = True
     bn_axis_name: Optional[str] = None
+    bn_groups: int = 1
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         cbr = functools.partial(ConvBNReLU, use_norm=self.batch_norm,
                                 activation=leaky_relu,
-                                bn_axis_name=self.bn_axis_name)
+                                bn_axis_name=self.bn_axis_name,
+                                bn_groups=self.bn_groups)
         chans = [128, 128, 128, 96, 64, 32]
         dils = [1, 2, 4, 8, 16, 1]
         for i, (c, d) in enumerate(zip(chans, dils)):
@@ -77,35 +81,43 @@ class RefinementModule(nn.Module):
 import numpy as np
 
 
-def _patch_conv_tables(ih: int, iw: int, cin: int, cout: int, k: int = 3):
-    """Static index tables mapping a 3x3 VALID conv over little (ih,iw,cin)
-    patch images onto one (ih*iw*cin, oh*ow*cout) channel matmul.  Channel
-    order is (position-major, filter-minor) so consecutive layers chain."""
-    oh, ow = ih - k + 1, iw - k + 1
-    in_idx, out_idx, w_idx = [], [], []
-    for oy in range(oh):
-        for ox in range(ow):
-            for dy in range(k):
-                for dx in range(k):
-                    for ci in range(cin):
-                        for co in range(cout):
-                            in_idx.append(
-                                ((oy + dy) * iw + (ox + dx)) * cin + ci)
-                            out_idx.append((oy * ow + ox) * cout + co)
-                            w_idx.append(((dy * k + dx) * cin + ci) * cout
-                                         + co)
-    return (oh, ow, np.asarray(in_idx), np.asarray(out_idx),
-            np.asarray(w_idx))
+def _toeplitz_expand(w: jax.Array, n_in: int, n_out: int) -> jax.Array:
+    """Embed a length-k leading axis into a (n_out, n_in) Toeplitz band:
+    ``T[o, i, ...] = w[i - o, ...]`` for ``0 <= i - o < k``, else 0.
+
+    Built with pad + tile + reshape only — the classic convolution-matrix
+    construction.  Row o of the reshape of the tiled period-(n_in+1)
+    pattern starts at offset ``o*n_in mod (n_in+1) = -o``, i.e. each row
+    shifts right by one; valid (no wraparound) whenever
+    ``n_out <= n_in - k + 1``, which holds for a VALID conv."""
+    k = w.shape[0]
+    assert n_out <= n_in - k + 1, (n_out, n_in, k)
+    pad = jnp.zeros((n_in + 1 - k,) + w.shape[1:], w.dtype)
+    period = jnp.concatenate([w, pad])                     # (n_in+1, ...)
+    tiled = jnp.tile(period, (n_out,) + (1,) * (w.ndim - 1))
+    return tiled[:n_out * n_in].reshape((n_out, n_in) + w.shape[1:])
 
 
 class _PatchConv(nn.Module):
     """3x3 VALID conv over B*H*W little (ih,iw,cin) patch images, computed
     as ONE structured matmul over the channel axis of the (B,H,W,ih*iw*cin)
-    layout.  Identical math to the little-images conv (the weight matrix is
-    scattered from the same (3,3,cin,cout) kernel at trace time), but the
-    contraction runs on the MXU instead of a batch-32k C=1 conv that maps
-    to ~1% of the TPU's lanes.  Param names/shapes match conv2d ('kernel'
-    HWIO, optional 'bias'), so torch checkpoints load unchanged."""
+    layout.  Identical math to the little-images conv, but the contraction
+    runs on the MXU instead of a batch-32k C=1 conv that maps to ~1% of
+    the TPU's lanes.
+
+    The (ih*iw*cin, oh*ow*cout) matrix M — M[(y,x,ci),(oy,ox,co)] =
+    K[y-oy, x-ox, ci, co] inside the band, 0 outside — is built from the
+    (3,3,cin,cout) kernel by two nested Toeplitz expansions
+    (pad/tile/reshape/transpose, see _toeplitz_expand).  The r4 version
+    scattered the same values with ``M.at[idx].set`` — on TPU that lowers
+    to a SERIAL per-element loop costing ~2.5 ms per 230k-entry build,
+    rebuilt in every head pass and every remat recompute; the r5 profile
+    (artifacts/align_profile_passgrad_r05.txt) showed those builds at
+    ~33 ms of the 148 ms pass.  The Toeplitz build is exact-same-values
+    and compiles to cheap loop fusions.
+
+    Param names/shapes match conv2d ('kernel' HWIO, optional 'bias'), so
+    torch checkpoints load unchanged."""
     ih: int
     iw: int
     cin: int
@@ -119,10 +131,15 @@ class _PatchConv(nn.Module):
         assert C == self.ih * self.iw * self.cin
         kernel = self.param("kernel", torch_default_kernel_init,
                             (3, 3, self.cin, self.cout), jnp.float32)
-        oh, ow, in_idx, out_idx, w_idx = _patch_conv_tables(
-            self.ih, self.iw, self.cin, self.cout)
-        M = jnp.zeros((C, oh * ow * self.cout), kernel.dtype)
-        M = M.at[in_idx, out_idx].set(kernel.reshape(-1)[w_idx])
+        ih, iw, cin, cout = self.ih, self.iw, self.cin, self.cout
+        oh, ow = ih - 2, iw - 2
+        # (oy, y, dx, ci, co): K[y-oy, dx, ci, co] banded over (oy, y)
+        a = _toeplitz_expand(kernel, ih, oh)
+        # (ox, x, ...) band on the dx axis: move dx in front first
+        a = jnp.moveaxis(a, 2, 0)                  # (dx, oy, y, ci, co)
+        b = _toeplitz_expand(a, iw, ow)            # (ox, x, oy, y, ci, co)
+        M = jnp.transpose(b, (3, 1, 4, 2, 0, 5)).reshape(
+            ih * iw * cin, oh * ow * cout)         # (y,x,ci),(oy,ox,co)
         y = jnp.einsum("bhwi,io->bhwo", x, M.astype(x.dtype),
                        preferred_element_type=jnp.float32).astype(x.dtype)
         if self.use_bias:
@@ -153,18 +170,57 @@ class _PackedBN(nn.Module):
     momentum: float = 0.1
     epsilon: float = 1e-5
     axis_name: Optional[str] = None
+    # like TorchBatchNorm.groups: per-group batch stats over axis-0 groups
+    # + sequential running-stat EMA in group order (fold_passes exactness)
+    groups: int = 1
 
     @nn.compact
     def __call__(self, x: jax.Array, use_running_average: bool = True):
         C = self.channels
         P = x.shape[-1] // C
         assert x.shape[-1] == P * C
+        G = self.groups
         ra_mean = self.variable("batch_stats", "mean",
                                 lambda: jnp.zeros((C,), jnp.float32))
         ra_var = self.variable("batch_stats", "var",
                                lambda: jnp.ones((C,), jnp.float32))
         if use_running_average:
             mean, var = ra_mean.value, ra_var.value
+        elif G > 1:
+            N = x.shape[0]
+            assert N % G == 0, (N, G)
+            xr = x.reshape((G, N // G) + x.shape[1:-1] + (P, C)).astype(
+                jnp.float32)
+            axes = tuple(range(1, xr.ndim - 1))
+            mean_g = jnp.mean(xr, axis=axes)            # (G, C)
+            mean_sq_g = jnp.mean(jnp.square(xr), axis=axes)
+            if self.axis_name is not None:
+                mean_g = jax.lax.pmean(mean_g, self.axis_name)
+                mean_sq_g = jax.lax.pmean(mean_sq_g, self.axis_name)
+            var_g = mean_sq_g - jnp.square(mean_g)
+            n = x.size // (C * G)
+            if self.axis_name is not None:
+                n = n * jax.lax.psum(1, self.axis_name)
+            unbiased_g = var_g * (n / max(n - 1, 1))
+            if not self.is_initializing():
+                m = self.momentum
+                ra_m, ra_v = ra_mean.value, ra_var.value
+                for g in range(G):
+                    ra_m = (1 - m) * ra_m + m * mean_g[g]
+                    ra_v = (1 - m) * ra_v + m * unbiased_g[g]
+                ra_mean.value = ra_m
+                ra_var.value = ra_v
+            scale = self.param("scale", nn.initializers.ones, (C,),
+                               jnp.float32)
+            bias = self.param("bias", nn.initializers.zeros, (C,),
+                              jnp.float32)
+            a_g = scale * jax.lax.rsqrt(var_g + self.epsilon)   # (G, C)
+            b_g = bias - mean_g * a_g
+            a_full = jnp.repeat(jnp.tile(a_g, (1, P)), N // G, axis=0)
+            b_full = jnp.repeat(jnp.tile(b_g, (1, P)), N // G, axis=0)
+            bshape = (N,) + (1,) * (x.ndim - 2) + (P * C,)
+            return x * a_full.reshape(bshape).astype(x.dtype) \
+                + b_full.reshape(bshape).astype(x.dtype)
         else:
             # fp32 reductions over (B,H,W,P) per channel; the reshape feeds
             # a fused reduce, nothing big is materialized
@@ -202,6 +258,7 @@ class _PatchCBR(nn.Module):
     cout: int
     use_norm: bool = True
     bn_axis_name: Optional[str] = None
+    bn_groups: int = 1
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False):
@@ -210,6 +267,7 @@ class _PatchCBR(nn.Module):
                                  name="conv")(x)
         if self.use_norm:
             y = _PackedBN(self.cout, axis_name=self.bn_axis_name,
+                          groups=self.bn_groups,
                           name="bn")(y, use_running_average=not train)
         return leaky_relu(y), (oh, ow)
 
@@ -229,6 +287,7 @@ class UncertaintyModule(nn.Module):
     feed_in_previous: bool = False
     batch_norm: bool = True
     bn_axis_name: Optional[str] = None
+    bn_groups: int = 1
 
     @nn.compact
     def __call__(self, corr: jax.Array, feat: jax.Array,
@@ -240,10 +299,12 @@ class UncertaintyModule(nn.Module):
         assert SS == S * S
         cbr = functools.partial(ConvBNReLU, use_norm=self.batch_norm,
                                 activation=leaky_relu,
-                                bn_axis_name=self.bn_axis_name)
+                                bn_axis_name=self.bn_axis_name,
+                                bn_groups=self.bn_groups)
         if S == 9:
             pcbr = functools.partial(_PatchCBR, use_norm=self.batch_norm,
-                                     bn_axis_name=self.bn_axis_name)
+                                     bn_axis_name=self.bn_axis_name,
+                                     bn_groups=self.bn_groups)
             x = corr
             x, (ih, iw) = pcbr(9, 9, 1, 32, name="conv_0")(x, train=train)
             x, (ih, iw) = pcbr(ih, iw, 32, 32, name="conv_1")(x, train=train)

@@ -146,11 +146,21 @@ class TorchBatchNorm(nn.Module):
     When ``use_running_average`` is False the batch statistics are computed
     over (N, H, W); if ``axis_name`` is set they are additionally averaged
     across that mesh axis (SyncBN, reference configs `sync_batchnorm: True`).
+
+    ``groups`` > 1 reproduces G SEQUENTIAL train-mode BN applications on a
+    batch that stacks the G calls along axis 0 (batch order = call order):
+    each group of N/G samples is normalized with its OWN batch statistics,
+    and the running stats receive the G EMA updates in group order
+    (``ra = (1-m)^G ra + m * sum_g (1-m)^(G-1-g) stats_g``) — exactly what
+    G serial calls would leave behind.  This is what makes the folded
+    3B-batched UAWarpC train step (alignment/trainer.py fold_passes) give
+    the same math as the reference's three serial head passes.
     """
     momentum: float = 0.1
     epsilon: float = 1e-5
     use_scale_bias: bool = True
     axis_name: Optional[str] = None
+    groups: int = 1
     # overridable for zero-init-residual (reference resnet.py:330-339)
     scale_init: Callable = nn.initializers.ones
 
@@ -164,8 +174,53 @@ class TorchBatchNorm(nn.Module):
         ra_var = self.variable("batch_stats", "var",
                                lambda: jnp.ones((C,), jnp.float32))
         x32 = x.astype(jnp.float32)
+        G = self.groups
         if use_running_average:
             mean, var = ra_mean.value, ra_var.value
+        elif G > 1:
+            N = x.shape[0]
+            assert N % G == 0, (N, G)
+            xg = x32.reshape((G, N // G) + x.shape[1:])
+            axes = tuple(range(1, xg.ndim - 1))
+            mean_g = jnp.mean(xg, axis=axes)              # (G, C)
+            mean_sq_g = jnp.mean(jnp.square(xg), axis=axes)
+            if self.axis_name is not None:
+                mean_g = jax.lax.pmean(mean_g, self.axis_name)
+                mean_sq_g = jax.lax.pmean(mean_sq_g, self.axis_name)
+            var_g = mean_sq_g - jnp.square(mean_g)
+            n = x32.size // (C * G)
+            if self.axis_name is not None:
+                n = n * jax.lax.psum(1, self.axis_name)
+            unbiased_g = var_g * (n / max(n - 1, 1))
+            if not self.is_initializing():
+                m = self.momentum
+                ra_m, ra_v = ra_mean.value, ra_var.value
+                for g in range(G):
+                    ra_m = (1 - m) * ra_m + m * mean_g[g]
+                    ra_v = (1 - m) * ra_v + m * unbiased_g[g]
+                ra_mean.value = ra_m
+                ra_var.value = ra_v
+            bshape = (G,) + (1,) * (xg.ndim - 2) + (C,)
+            if self.use_scale_bias:
+                scale = self.param("scale", self.scale_init, (C,),
+                                   jnp.float32)
+                bias = self.param("bias", nn.initializers.zeros, (C,),
+                                  jnp.float32)
+            else:
+                scale, bias = 1.0, 0.0
+            if dtype == jnp.bfloat16:
+                # FMA fold (see the ungrouped branch note): y = x*a + b
+                a = (scale * jax.lax.rsqrt(var_g + self.epsilon)).reshape(
+                    bshape)
+                b = bias - mean_g.reshape(bshape) * a
+                return (xg * a + b).reshape(x.shape).astype(dtype)
+            mean = mean_g.reshape(bshape)
+            var = var_g.reshape(bshape)
+            y = ((xg - mean) * jax.lax.rsqrt(var + self.epsilon)
+                 ).reshape(x.shape)
+            if self.use_scale_bias:
+                y = y * scale + bias
+            return y.astype(dtype)
         else:
             reduce_axes = tuple(range(x.ndim - 1))
             mean = jnp.mean(x32, axis=reduce_axes)
@@ -182,12 +237,28 @@ class TorchBatchNorm(nn.Module):
                 m = self.momentum
                 ra_mean.value = (1 - m) * ra_mean.value + m * mean
                 ra_var.value = (1 - m) * ra_var.value + m * unbiased
-        y = (x32 - mean) * jax.lax.rsqrt(var + self.epsilon)
         if self.use_scale_bias:
             scale = self.param("scale", self.scale_init, (C,),
                                jnp.float32)
             bias = self.param("bias", nn.initializers.zeros, (C,),
                               jnp.float32)
+        else:
+            scale, bias = 1.0, 0.0
+        if dtype == jnp.bfloat16:
+            # FMA fold for bf16 streams: y = x*a + b with
+            # a = scale*rsqrt(var+eps), b = bias - mean*a — the same fp32
+            # math reassociated (one fp32 rounding), but reverse-mode AD
+            # through this form saves only per-channel vectors + the bf16
+            # x (already live as the conv output) instead of a full fp32
+            # x-hat per BN: the r5 profile showed those fp32 residual
+            # tuples at ~42 ms of the 148 ms differentiated head pass
+            # (artifacts/align_profile_passgrad_r05.txt, loop fusions).
+            # fp32 inputs keep the exact sub-then-scale order (goldens).
+            a = scale * jax.lax.rsqrt(var + self.epsilon)
+            b = bias - mean * a
+            return (x32 * a + b).astype(dtype)
+        y = (x32 - mean) * jax.lax.rsqrt(var + self.epsilon)
+        if self.use_scale_bias:
             y = y * scale + bias
         return y.astype(dtype)
 
@@ -283,6 +354,7 @@ class ConvBNReLU(nn.Module):
     bias: Union[str, bool] = "auto"
     depthwise_separable: bool = False
     bn_axis_name: Optional[str] = None
+    bn_groups: int = 1
     kernel_init: Optional[Callable] = None
     bias_init: Optional[Callable] = None
 
@@ -297,12 +369,13 @@ class ConvBNReLU(nn.Module):
                 stride=self.stride, padding=padding, dilation=self.dilation,
                 groups=x.shape[-1], use_norm=self.use_norm,
                 activation=self.activation, bn_axis_name=self.bn_axis_name,
+                bn_groups=self.bn_groups,
                 kernel_init=self.kernel_init, bias_init=self.bias_init,
                 name="depthwise_conv")(x, train=train)
             x = ConvBNReLU(
                 out_channels=self.out_channels, kernel_size=1,
                 use_norm=self.use_norm, activation=self.activation,
-                bn_axis_name=self.bn_axis_name,
+                bn_axis_name=self.bn_axis_name, bn_groups=self.bn_groups,
                 kernel_init=self.kernel_init, bias_init=self.bias_init,
                 name="pointwise_conv")(x, train=train)
             return x
@@ -312,7 +385,8 @@ class ConvBNReLU(nn.Module):
                    kernel_init=self.kernel_init, bias_init=self.bias_init,
                    name="conv")(x)
         if self.use_norm:
-            x = TorchBatchNorm(axis_name=self.bn_axis_name, name="bn")(
+            x = TorchBatchNorm(axis_name=self.bn_axis_name,
+                               groups=self.bn_groups, name="bn")(
                 x, use_running_average=not train)
         if self.activation is not None:
             x = self.activation(x)

@@ -53,16 +53,27 @@ def grid_sample(x: jax.Array, grid: jax.Array, align_corners: bool = True,
       (B, Ho, Wo, C) sampled output, same dtype as x.
     """
     assert padding_mode in ("zeros", "border")
-    # Shape-dispatched formulation choice (both are exact; warp-lab
-    # evidence artifacts/warp_lab_packed_r04.txt): the packed single-gather
-    # path wins up to 3.2x at wide-channel sites (C=512: 0.92->0.29 ms at
-    # (2,32,32,512), 4.07->2.89 at (6,65,65,512)) where the 4x-wider gather
-    # rows are free, but loses ~8% at (6,130,130,256) and ties at C<=19
-    # where per-row cost no longer dominates.  'auto' picks packed iff
-    # C >= 384; REFIGN_TPU_WARP_PACK=1/0 forces it on/off for A/B.
-    pack = os.environ.get("REFIGN_TPU_WARP_PACK", "auto")
-    if pack == "1" or (pack != "0" and x.shape[-1] >= 384):
+    # Formulation choice (both are exact).  The r4 C>=384 auto-pack rule
+    # was justified by numbers that the cited artifact did not contain;
+    # the r5 3-round re-measurement (artifacts/warp_remeasure_r05.txt, vs
+    # artifacts/warp_lab_packed_r04.txt) shows the packed single-gather
+    # path has NO repeatable win at any production geometry — it ties
+    # within relay noise at (2,32,32,512) and (6,65,65,512), and LOSES
+    # 2-5x consistently at (2,64,64,512) (0.10-0.62 ms 4-gather vs
+    # 0.47-0.75 packed), a production UDA-align feature-warp shape.
+    # Default is therefore the 4-gather path everywhere;
+    # REFIGN_TPU_WARP_PACK=1 forces the packed path for future A/Bs
+    # (standing toolchain re-test, PARITY.md).
+    pack = os.environ.get("REFIGN_TPU_WARP_PACK", "0")
+    if pack == "1":
         return _grid_sample_packed(x, grid, align_corners, padding_mode)
+    return _grid_sample_gather4(x, grid, align_corners, padding_mode)
+
+
+def _grid_sample_gather4(x: jax.Array, grid: jax.Array, align_corners: bool,
+                         padding_mode: str) -> jax.Array:
+    """Classic 4-corner-gather bilinear formulation (one gather row per
+    corner per output pixel); the `grid_sample` docstring's semantics."""
     B, H, W, C = x.shape
     orig_dtype = x.dtype
     xf = x.astype(jnp.float32)

@@ -79,14 +79,24 @@ class AlignTask:
             add_elastic=cf.get("add_elastic", False),
             compute_dtype=_precision_dtype(
                 self.trainer_cfg.get("precision", 16)),
-            # TPU memory knob (no reference analog): the 3-pass step needs
-            # 28.4 GB of HBM un-checkpointed at the MegaDepth stage
-            # geometry (520^2 b6) vs the v5e's 15.75 GB, so head-pass
-            # remat defaults ON for training; model.init_args.remat_head
-            # / remat_head_policy override (PARITY.md r4 campaign)
-            remat_head=bool(margs.get("remat_head", True)),
+            # TPU memory knobs (no reference analog): the 3-pass step
+            # needs 28.4 GB of HBM un-checkpointed at the MegaDepth stage
+            # geometry (520^2 b6) vs the v5e's 15.75 GB.  Default is
+            # per-SUBMODULE remat (UAWarpCHead.remat_modules): only
+            # module-boundary tensors stay resident, and the backward
+            # recomputes one decoder/refinement/uncertainty module at a
+            # time instead of a whole head pass — measured 400.3 ->
+            # 357.8 ms/step over whole-pass remat at stage-1 geometry
+            # (r5 campaign, artifacts/align_train_stage1_520_b6_r05.txt).
+            # model.init_args.remat_head=True restores the r4 whole-pass
+            # scheme (with optional remat_head_policy / remat_skip_last);
+            # fold_passes folds the 3 passes into one 3B apply (grouped
+            # BN; equal math, measured neutral-to-slower — kept for A/B).
+            remat_head=bool(margs.get("remat_head", False)),
             remat_head_policy=margs.get("remat_head_policy"),
             remat_skip_last=bool(margs.get("remat_skip_last", False)),
+            remat_modules=bool(margs.get("remat_modules", True)),
+            fold_passes=bool(margs.get("fold_passes", False)),
         )
         self.pretrained = margs.get("pretrained")
         self.metrics_cfg = parse_metrics(margs.get("metrics", {}))

@@ -365,6 +365,12 @@ def make_uda_train_step(segmentor: Segmentor,
                     logits_mix, mixed_lbl, mixed_weight)
             logs["train_loss_uda_trg"] = loss_mix
             total = total + loss_mix
+            # teacher-confidence observability: the DACS uniform pseudo
+            # weight is frac(conf >= threshold) per image (reference
+            # :218-222); its mean tracks how confident/stable the teacher's
+            # pseudo-labels are (used by the convergence harness)
+            logs["train_pseudo_weight"] = jnp.mean(
+                mixed_weight.astype(jnp.float32))
             return total, (aux_mix["batch_stats"], logs)
 
         (loss, (new_stats, logs)), grads = jax.value_and_grad(

@@ -53,7 +53,7 @@ SLOW_MODULES = {
     "test_trajectory_golden", "test_align_trajectory_golden",
     "test_refign_trajectory_golden", "test_mit_golden",
     "test_pretrained", "test_checkpoint_interop", "test_resnet",
-    "test_alignment",
+    "test_alignment", "test_convergence",
 }
 
 

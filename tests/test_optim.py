@@ -161,3 +161,63 @@ def test_backbone_group_min_lr_matches_torch_scheduler():
             rtol=5e-5, atol=1e-10, err_msg=f"backbone params step {step}")
     # the final backbone lr is min_lr, not factor*min_lr
     np.testing.assert_allclose(float(my_bb(max_steps)), min_lr, rtol=1e-6)
+
+
+def test_gradient_accumulation_equals_big_batch():
+    """k accumulated micro-steps (optax.MultiSteps via
+    make_uda_optimizer(accumulate_steps=k)) must produce the SAME params as
+    one step on the k-x batch: for mean losses over equal-sized
+    micro-batches, grad(big batch) == mean of micro-batch grads, and
+    MultiSteps averages — so the whole trajectory must match to fp32
+    tolerance (r4 verdict weak #5)."""
+    import jax
+
+    k = 3
+    rng = np.random.RandomState(7)
+    params0 = {"backbone": {"w": jnp.asarray(rng.randn(4, 3), jnp.float32)},
+               "head": {"w": jnp.asarray(rng.randn(3, 2), jnp.float32),
+                        "b": jnp.asarray(rng.randn(2), jnp.float32)}}
+
+    def mean_loss(params, x, y):
+        h = x @ params["backbone"]["w"]
+        pred = h @ params["head"]["w"] + params["head"]["b"]
+        return jnp.mean((pred - y) ** 2)
+
+    tx_acc, _ = make_uda_optimizer(params0, 6e-4, 0.01, 100,
+                                   accumulate_steps=k)
+    tx_big, _ = make_uda_optimizer(params0, 6e-4, 0.01, 100)
+
+    p_acc = jax.tree_util.tree_map(jnp.copy, params0)
+    p_big = jax.tree_util.tree_map(jnp.copy, params0)
+    s_acc = tx_acc.init(p_acc)
+    s_big = tx_big.init(p_big)
+    grad = jax.jit(jax.grad(mean_loss))
+
+    for step in range(4):
+        xs = rng.randn(k, 8, 4).astype(np.float32)
+        ys = rng.randn(k, 8, 2).astype(np.float32)
+        # k micro-steps; params must only move on the k-th
+        for i in range(k):
+            g = grad(p_acc, jnp.asarray(xs[i]), jnp.asarray(ys[i]))
+            updates, s_acc = tx_acc.update(g, s_acc, p_acc)
+            p_new = optax.apply_updates(p_acc, updates)
+            if i < k - 1:
+                for a, b in zip(jax.tree_util.tree_leaves(p_new),
+                                jax.tree_util.tree_leaves(p_acc)):
+                    np.testing.assert_array_equal(
+                        np.asarray(a), np.asarray(b),
+                        err_msg=f"params moved mid-accumulation "
+                                f"(step {step} micro {i})")
+            p_acc = p_new
+        # one big-batch step
+        g = grad(p_big, jnp.asarray(xs.reshape(-1, 4)),
+                 jnp.asarray(ys.reshape(-1, 2)))
+        updates, s_big = tx_big.update(g, s_big, p_big)
+        p_big = optax.apply_updates(p_big, updates)
+        for pa, pb, name in [
+                (p_acc["backbone"]["w"], p_big["backbone"]["w"], "bb.w"),
+                (p_acc["head"]["w"], p_big["head"]["w"], "head.w"),
+                (p_acc["head"]["b"], p_big["head"]["b"], "head.b")]:
+            np.testing.assert_allclose(
+                np.asarray(pa), np.asarray(pb), rtol=2e-5, atol=1e-7,
+                err_msg=f"{name} diverged at step {step}")

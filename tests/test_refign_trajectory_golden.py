@@ -38,7 +38,12 @@ from tests.test_trajectory_golden import (_det_class_masks_jax,
 
 B, H, W = 2, 64, 64
 LR, WD, MAX_STEPS, WARMUP = 6e-4, 0.01, 20, 4
-N_STEPS = 3
+# 10-step horizon (r4 verdict missing #1: "extend the full-Refign
+# trajectory golden to ~10 steps, tolerance-managed").  Both sides run
+# fp32; the remaining divergence is fp reassociation noise (XLA fusion vs
+# torch op order) compounding through the closed teacher->student loop, so
+# the per-step tolerances below scale with the step index.
+N_STEPS = 10
 
 
 @pytest.fixture(scope="module")
@@ -234,24 +239,28 @@ def test_full_refign_training_trajectory_matches_reference(batch_np,
     # pure forward, so component-golden-level tolerance applies
     for step in (0, N_STEPS - 1):
         ref_probs = np.transpose(ref_refined[step], (0, 2, 3, 1))
+        # step 0 is a pure forward (component-golden tolerance); by the
+        # last step the teacher has absorbed N-1 fp-noise-compounded
+        # student updates, so the bound grows with the horizon
+        tol = 5e-4 if step == 0 else 5e-4 * N_STEPS
         np.testing.assert_allclose(
-            my_refined[step], ref_probs, atol=5e-4,
+            my_refined[step], ref_probs, atol=tol,
             err_msg=f"refined pseudo-probs diverged at step {step}")
 
-    # ---- per-step losses ------------------------------------------------
+    # ---- per-step losses (tolerance grows with the horizon) -------------
     for step in range(N_STEPS):
         for key in ("train_loss_src", "train_loss_featdist_src",
                     "train_loss_uda_trg"):
             want = ref_losses[step][key]
             got = my_losses[step][key]
             np.testing.assert_allclose(
-                got, want, rtol=2e-3, atol=2e-4,
+                got, want, rtol=2e-3 * (1 + step), atol=2e-4 * (1 + step),
                 err_msg=f"step {step} {key}: ref={want} mine={got}")
 
     # ---- parameter-norm trace ------------------------------------------
     for step in range(N_STEPS):
         np.testing.assert_allclose(
-            my_norms[step], ref_norms[step], rtol=1e-5,
+            my_norms[step], ref_norms[step], rtol=1e-5 * (1 + step),
             err_msg=f"param sq-norm diverged at step {step}")
 
     # ---- final params elementwise (same flip-tolerant bound rationale as
@@ -261,4 +270,5 @@ def test_full_refign_training_trajectory_matches_reference(batch_np,
     flat_my = jax.tree_util.tree_leaves(state.params["backbone"])
     worst = max(float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
                 for a, b in zip(flat_my, flat_ref))
-    assert worst < 2e-4, f"max |param diff| after {N_STEPS} steps: {worst}"
+    assert worst < 2e-4 * max(1, N_STEPS - 2), (
+        f"max |param diff| after {N_STEPS} steps: {worst}")

@@ -199,17 +199,13 @@ def test_grid_sample_packed_grad_matches_4gather():
     grid = jnp.asarray((rng.rand(1, 5, 5, 2) * 3.0 - 1.5).astype(np.float32))
     from refign_tpu.ops.warp import _grid_sample_packed
 
+    from refign_tpu.ops.warp import _grid_sample_gather4
+
     def f_packed(x, g):
         return jnp.sum(_grid_sample_packed(x, g, True, "zeros") ** 2)
 
     def f_gather(x, g):
-        import os
-        os.environ["REFIGN_TPU_WARP_PACK"] = "0"
-        try:
-            from refign_tpu.ops.warp import grid_sample
-            return jnp.sum(grid_sample(x, g) ** 2)
-        finally:
-            os.environ.pop("REFIGN_TPU_WARP_PACK", None)
+        return jnp.sum(_grid_sample_gather4(x, g, True, "zeros") ** 2)
 
     gp = jax.grad(f_packed, argnums=(0, 1))(x, grid)
     gg = jax.grad(f_gather, argnums=(0, 1))(x, grid)

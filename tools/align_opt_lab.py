@@ -38,7 +38,23 @@ def main():
     ap.add_argument("--scan", type=int, default=10, metavar="K")
     ap.add_argument("--probes", default=None,
                     help="comma list (default: all)")
+    ap.add_argument("--fold", action="store_true",
+                    help="fold_passes=True for the full/full_dots probes")
+    ap.add_argument("--remat_modules", action="store_true", default=None,
+                    help="force remat_modules=True (r5 production default)")
+    ap.add_argument("--no_remat_modules", dest="remat_modules",
+                    action="store_false",
+                    help="disable per-submodule remat")
+    ap.add_argument("--no_remat_head", action="store_true", default=None,
+                    help="remat_head=False (r5 production default)")
+    ap.add_argument("--remat_head", dest="no_remat_head",
+                    action="store_false",
+                    help="whole-pass remat (r4 production default)")
     args = ap.parse_args()
+    if args.remat_modules is None:
+        args.remat_modules = True    # production default (align_task.py)
+    if args.no_remat_head is None:
+        args.no_remat_head = True
 
     import jax
     import jax.numpy as jnp
@@ -63,7 +79,9 @@ def main():
         prime_blur=(0.2, 7, 0.2, 2.0),
         crop_after_flow=(C, C),
         visibility_mask=False,
-        remat_head=True,
+        remat_head=not args.no_remat_head,
+        fold_passes=args.fold,
+        remat_modules=args.remat_modules,
     )
     cdt = jnp.dtype(cfg.compute_dtype)
     backbone = VGG(model_type="vgg16", out_indices=(2, 3, 4))

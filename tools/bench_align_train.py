@@ -41,6 +41,9 @@ def main():
     ap.add_argument("--windows", default=None,
                     help="comma list of window lengths (relay "
                     "characterization; overrides --steps)")
+    ap.add_argument("--remat-head", action="store_true",
+                    help="use the r4 whole-pass remat instead of the r5 "
+                    "per-submodule default")
     ap.add_argument("--no-remat", action="store_true",
                     help="disable head-pass remat (without it the 3-pass "
                     "step needs 28.4 GB HBM at stage geometry and OOMs "
@@ -71,15 +74,19 @@ def main():
     B, L = args.batch, args.load
     backbone = VGG(model_type="vgg16", out_indices=(2, 3, 4))
     head = UAWarpCHead(in_index=(0, 1), estimate_uncertainty=True)
+    # remat scheme mirrors the align_task production defaults (r5:
+    # per-submodule remat, no whole-pass remat); --remat-head/--no-remat
+    # select the r4 whole-pass scheme or no remat at all
     cfg = AlignConfig(
         prime_jitter=(0.6, 0.6, 0.6, 0.0),
         prime_channel_shuffle=True,
         prime_blur=(0.2, 7, 0.2, 2.0),
         crop_after_flow=(args.crop, args.crop),
         visibility_mask=(args.stage == 2),
-        remat_head=not args.no_remat,
+        remat_head=args.remat_head,
         remat_head_policy=args.remat_policy,
         remat_skip_last=args.remat_skip_last,
+        remat_modules=not (args.no_remat or args.remat_head),
     )
     key = jax.random.PRNGKey(0)
     rng = np.random.RandomState(0)

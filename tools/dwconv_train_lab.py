@@ -40,16 +40,19 @@ def main():
     import refign_tpu  # noqa: F401  (matmul precision policy)
     from refign_tpu.ops import dwconv as D
 
+    import json
+
     rng = np.random.RandomState(0)
     print(f"{'stage shape':>24} {'form':>10} {'fwd ms':>8} {'f+b ms':>8}")
     results = {}
     for hidden, stride in _STAGES:
         H = args.size // stride
         B, C = args.batch, hidden
-        dt = jnp.dtype(args.dtype)
-        x = jnp.asarray(rng.randn(B, H, W := H, C).astype(np.float32), dt)
-        w = jnp.asarray(rng.randn(3, 3, 1, C).astype(np.float32) * 0.1, dt)
-        b = jnp.asarray(rng.randn(C).astype(np.float32) * 0.1, dt)
+        dtype = jnp.dtype(args.dtype)
+        x = jnp.asarray(rng.randn(B, H, W := H, C).astype(np.float32), dtype)
+        w = jnp.asarray(rng.randn(3, 3, 1, C).astype(np.float32) * 0.1,
+                        dtype)
+        b = jnp.asarray(rng.randn(C).astype(np.float32) * 0.1, dtype)
 
         forms = {
             "conv": lambda x, w, b: D._dwconv3x3_gelu_conv(x, w, b),
@@ -61,26 +64,31 @@ def main():
                 return jnp.sum(f(x, w, b).astype(jnp.float32))
 
             def scan_fwd(x, w, b):
-                def body(c, _):
-                    x = c
-                    y = f(x, w, b)
-                    # chain: feed output back (same shape)
-                    return y, ()
-                out, _ = jax.lax.scan(body, x, None, length=args.iters)
+                # STATIONARY input distribution: x is never replaced (the
+                # r4 version fed y back as the next x, which with 0.1-scale
+                # weights drove activations toward denormals and produced a
+                # physically impossible fwd column).  A zero-valued eps
+                # derived from each output makes iteration k+1 depend on
+                # iteration k so the scan body cannot be hoisted.
+                def body(eps, _):
+                    y = f(x + eps.astype(x.dtype), w, b)
+                    return jnp.sum(y.astype(jnp.float32)) * 0.0, ()
+                out, _ = jax.lax.scan(body, jnp.float32(0.0), None,
+                                      length=args.iters)
                 return out
 
             def scan_bwd(x, w, b):
                 # grads w.r.t. ALL inputs (dw is the expensive reduction in
                 # a grouped-conv backward); a tiny SGD update keeps every
-                # grad live in the scan carry so nothing is DCE'd
+                # grad live in the scan carry so nothing is DCE'd, while
+                # x stays fixed (stationary distribution)
                 def body(c, _):
-                    x, w, b = c
+                    w, b = c
                     gx, gw, gb = jax.grad(loss, argnums=(0, 1, 2))(x, w, b)
-                    return (gx.astype(x.dtype), w + 1e-6 * gw,
-                            b + 1e-6 * gb), ()
-                (x, w, b), _ = jax.lax.scan(body, (x, w, b), None,
-                                            length=args.iters)
-                return x
+                    return (w + 1e-6 * gw, b + 1e-6 * gb), ()
+                (w, b), _ = jax.lax.scan(body, (w, b), None,
+                                         length=args.iters)
+                return w
 
             row = []
             for tag, sf in (("fwd", scan_fwd), ("f+b", scan_bwd)):
@@ -91,15 +99,19 @@ def main():
                     t0 = time.perf_counter()
                     out = sf_j(x * 1.0001, w, b)
                     np.asarray(jax.device_get(out[(0,) * out.ndim]))
-                    dt = (time.perf_counter() - t0) / args.iters * 1e3
+                    ms = (time.perf_counter() - t0) / args.iters * 1e3
                 except Exception as e:  # pallas may reject a shape
                     print(f"{(B,H,W,C)!s:>24} {name:>10} FAIL {tag}: "
                           f"{type(e).__name__}", file=sys.stderr)
-                    dt = float("nan")
-                row.append(dt)
-            results[(B, H, W, C, name)] = row
+                    ms = float("nan")
+                row.append(ms)
+            results[f"{B}x{H}x{W}x{C}/{name}"] = {
+                "fwd_ms": round(row[0], 3), "fwd_bwd_ms": round(row[1], 3)}
             print(f"{(B, H, W, C)!s:>24} {name:>10} "
                   f"{row[0]:8.3f} {row[1]:8.3f}", flush=True)
+    print(json.dumps({"metric": "dwconv_train_lab", "size": args.size,
+                      "batch": args.batch, "dtype": args.dtype,
+                      "results": results}), flush=True)
 
 
 if __name__ == "__main__":
