@@ -120,13 +120,13 @@ class DWConvGELU(nn.Module):
     dim: int
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         kernel = self.param("kernel", kaiming_normal_fanout(self.dim),
                             (3, 3, 1, self.dim), jnp.float32)
         bias = self.param("bias", _ZEROS, (self.dim,), jnp.float32)
         from flax.linen.dtypes import promote_dtype
         x, kernel, bias = promote_dtype(x, kernel, bias, dtype=None)
-        return dwconv3x3_gelu(x, kernel, bias)
+        return dwconv3x3_gelu(x, kernel, bias, train=train)
 
 
 class MixFFN(nn.Module):
@@ -144,7 +144,10 @@ class MixFFN(nn.Module):
         h = conv2d(self.hidden_dim, kernel_size=1, padding=0,
                    kernel_init=_LINEAR_INIT, bias_init=_ZEROS,
                    name="fc1")(x)
-        h = DWConvGELU(self.hidden_dim, name="dwconv")(h)
+        # deterministic=False marks the differentiated train path, which
+        # uses the shift dwconv formulation (ops/dwconv.py measured split)
+        h = DWConvGELU(self.hidden_dim, name="dwconv")(
+            h, train=not deterministic)
         return conv2d(self.out_dim, kernel_size=1, padding=0,
                       kernel_init=_LINEAR_INIT, bias_init=_ZEROS,
                       name="fc2")(h)

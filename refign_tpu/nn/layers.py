@@ -16,6 +16,7 @@ These are the building blocks shared by every model in the framework
 from __future__ import annotations
 
 import functools
+import os
 from typing import Any, Callable, Optional, Sequence, Tuple, Union
 
 import jax
@@ -267,6 +268,41 @@ def _pair(v):
     return (v, v) if isinstance(v, int) else tuple(v)
 
 
+def _depthwise3x3_shift(x: jax.Array, kernel: jax.Array,
+                        padding, dilation) -> jax.Array:
+    """Pure-depthwise 3x3 stride-1 conv as 9 shifted multiply-adds.
+
+    XLA's grouped-conv lowering is pathological on TPU for groups == C:
+    tools/dwconv_train_lab.py (r5, stationary-input fix) measures its
+    fwd+bwd at 14-32 ms per MiT stage shape where this formulation costs
+    1.0-1.4 ms — and the UDA core profile shows the DAFormer head's
+    separable-ASPP depthwise convs (3,3,1,1024 @ 128^2, T(2,128) degenerate
+    tiling) as the core's single largest cost block
+    (artifacts/uda_core_profile_512_r05.txt).  fp32 multiply-accumulate
+    (matching XLA's conv accumulation for bf16 inputs); returns fp32 —
+    the caller adds bias and casts.
+    """
+    (pt, pb), (pl_, pr) = padding
+    dh, dw = dilation
+    H, W = x.shape[1:3]
+    Ho = H + pt + pb - 2 * dh
+    Wo = W + pl_ + pr - 2 * dw
+    # pad in the INPUT dtype and cast per tap: the pad buffer and the
+    # backward cotangents then stay bf16 (an early version cast x to f32
+    # before padding, which silently ran the whole chain — and its
+    # reverse-mode buffers — in f32: measured 131.7 -> 172.4 ms core
+    # regression + HBM OOM at the dilated ASPP taps)
+    xp = jnp.pad(x, ((0, 0), (pt, pb), (pl_, pr), (0, 0)))
+    w32 = kernel.astype(jnp.float32)[:, :, 0]   # (3, 3, C)
+    acc = None
+    for i in range(3):
+        for j in range(3):
+            xs = xp[:, i * dh:i * dh + Ho, j * dw:j * dw + Wo, :]
+            t = xs.astype(jnp.float32) * w32[i, j]
+            acc = t if acc is None else acc + t
+    return acc
+
+
 class TorchConv(nn.Module):
     """torch.nn.Conv2d equivalent: NHWC input, HWIO kernel, symmetric pad,
     and torch's *default initialization* (kaiming_uniform(a=sqrt(5)) kernel,
@@ -299,6 +335,25 @@ class TorchConv(nn.Module):
             bias = self.param("bias", binit, (self.features,), jnp.float32)
         from flax.linen.dtypes import promote_dtype
         x, kernel, bias = promote_dtype(x, kernel, bias, dtype=None)
+        if (self.feature_group_count > 1
+                and self.feature_group_count == x.shape[-1]
+                and self.features == x.shape[-1]
+                and (kh, kw) == (3, 3) and self.strides == (1, 1)
+                and os.environ.get("REFIGN_TPU_DW_SHIFT", "0") == "1"):
+            # pure depthwise 3x3: shift-add formulation, OPT-IN A/B arm
+            # (REFIGN_TPU_DW_SHIFT=1).  The isolated dwconv lab shows it
+            # 10-20x faster than XLA's grouped conv fwd+bwd
+            # (artifacts/dwconv_train_lab_r05.txt), but IN CONTEXT the
+            # 512^2 UDA core measured SLOWER with it (all-shift 156.4 ms,
+            # ASPP-conv+FFN-shift 171.2 vs all-conv 125.4 — XLA fuses the
+            # grouped conv with its neighbors in the full graph;
+            # artifacts/uda_core_dwshift_ab_r05.txt), so grouped conv
+            # stays the default everywhere.
+            y = _depthwise3x3_shift(x, kernel, self.padding,
+                                    self.kernel_dilation)
+            if bias is not None:
+                y = y + bias.astype(jnp.float32)
+            return y.astype(x.dtype)
         y = jax.lax.conv_general_dilated(
             x, kernel, window_strides=self.strides, padding=self.padding,
             rhs_dilation=self.kernel_dilation,

@@ -172,21 +172,31 @@ _fused.defvjp(_fused_fwd, _fused_bwd)
 
 def dwconv3x3_gelu(x: jax.Array, w: jax.Array, b: jax.Array,
                    use_pallas: Optional[bool] = None,
-                   interpret: bool = False) -> jax.Array:
+                   interpret: bool = False,
+                   train: bool = False) -> jax.Array:
     """Depthwise 3x3 (stride 1, pad 1) conv + bias + exact GELU.
 
     Args:
       x: (B, H, W, C) NHWC input.
       w: (3, 3, 1, C) HWIO depthwise kernel (feature_group_count=C layout).
       b: (C,) bias.
+      train: True on differentiated paths — selects the shift formulation
+        (see below).
     """
     if use_pallas is None:
-        # Default: grouped-conv lowering.  Measured on the v5e bench
-        # (PARITY.md, r2 A/B with honest sync): conv 4.34 img/s,
-        # XLA shift 4.19, Pallas strip kernel 3.70 — XLA's grouped-conv
-        # path is already the fastest at MiT shapes; the round-1 claim
-        # that shift beat it 4-11x was a timing artifact (block_until_ready
-        # does not sync on the axon tunnel).  Env arms kept for A/B.
+        # Default: grouped-conv lowering on BOTH paths.  Evidence trail:
+        #  * inference r2 A/B (PARITY.md, honest sync): conv 4.34 img/s >
+        #    shift 4.19 > Pallas strip 3.70;
+        #  * the ISOLATED train lab says conv f+b is 10-20x slower than
+        #    shift (artifacts/dwconv_train_lab_r05.txt) — but IN CONTEXT
+        #    the 512^2 UDA core got SLOWER when the train path switched
+        #    to shift (125.4 -> 156-171 ms,
+        #    artifacts/uda_core_dwshift_ab_r05.txt): inside the full
+        #    graph XLA fuses the grouped conv with its producers/
+        #    consumers and the lab's isolated number does not transfer.
+        # `train` is accepted so a future toolchain re-test can re-split
+        # the dispatch; REFIGN_TPU_DWCONV_PALLAS ∈ {conv, shift/0, 1}
+        # forces an arm.
         env = os.environ.get("REFIGN_TPU_DWCONV_PALLAS")
         if env is None or env == "conv":
             return _dwconv3x3_gelu_conv(x, w, b)

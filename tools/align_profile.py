@@ -36,12 +36,16 @@ def analyze_trace(logdir, K, top=40):
     path = sorted(glob.glob(os.path.join(
         logdir, "plugins/profile/*/*.trace.json.gz")))[-1]
     data = json.load(gzip.open(path))
+    dev_pids = set()
+    for e in data["traceEvents"]:
+        if (e.get("ph") == "M" and e.get("name") == "process_name"
+                and "TPU" in e.get("args", {}).get("name", "")):
+            dev_pids.add(e["pid"])
     tn = {}
     for e in data["traceEvents"]:
         if (e.get("ph") == "M" and e.get("name") == "thread_name"
-                and "TPU" in str(e)):
+                and e.get("pid") in dev_pids):
             tn[(e["pid"], e["tid"])] = e["args"]["name"]
-    dev_pids = {p for (p, t), n in tn.items()}
     ops = {}
     for e in data["traceEvents"]:
         if e.get("ph") != "X" or e.get("pid") not in dev_pids:

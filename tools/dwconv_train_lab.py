@@ -13,10 +13,13 @@ single-dispatch lax.scan methodology (tools/_timing.py caveats).
 Run on the TPU:  python tools/dwconv_train_lab.py [--size 512] [--batch 2]
 """
 import argparse
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 # MiT-B5 Mix-FFN hidden dims per stage (embed_dim * mlp_ratio) and the
