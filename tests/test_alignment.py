@@ -402,9 +402,14 @@ def test_align_train_step_remat_head_numerics_identical():
             float(logs["train_matching_loss"]),
             float(sum(np.sum(np.square(np.asarray(x)))
                       for x in jax.tree_util.tree_leaves(state.params))))
-    np.testing.assert_allclose(out["full"], out["none"], rtol=1e-6)
-    np.testing.assert_allclose(out["dots"], out["none"], rtol=1e-6)
-    np.testing.assert_allclose(out["skip_last"], out["none"], rtol=1e-6)
+    # rtol 1e-5, not 1e-6: since the r5 bf16 BN FMA fold (nn/layers.py),
+    # XLA may contract the fold's x*a+b with or without a fused
+    # multiply-add depending on the surrounding (remat-dependent) fusion
+    # — a 1-ulp fp32 difference at bf16 boundaries, measured 5.3e-6 rel
+    # on the step-2 loss.  A genuine remat bug would sit orders above.
+    np.testing.assert_allclose(out["full"], out["none"], rtol=1e-5)
+    np.testing.assert_allclose(out["dots"], out["none"], rtol=1e-5)
+    np.testing.assert_allclose(out["skip_last"], out["none"], rtol=1e-5)
 
 
 def test_align_device_normalize_matches_host_normalize():
